@@ -41,4 +41,4 @@ def test_sharded_matmul_runs(cpu_devices):
 
     out = f(xs, ws)
     np.testing.assert_allclose(np.asarray(out), 16.0)
-    assert out.sharding.spec == P(("data", "fsdp"), "tensor")
+    assert out.sharding.is_equivalent_to(env.batch("tensor"), ndim=2)
