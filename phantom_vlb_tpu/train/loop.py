@@ -1,0 +1,159 @@
+"""Training loop: epochs, fractional val cadence, checkpointing, logging.
+
+Reference orchestration (train.py + trainer yaml block): 10 epochs, validation
+5x per epoch (``val_check_interval: 0.2``), ``log_every_n_steps: 15``, best +
+last checkpoints on ``val/brain_loss``, per-ROI Pearson logged each val epoch.
+
+TPU structure: the loop is thin host code; each step is one jitted program.
+Batches are ``jax.device_put`` with the mesh batch sharding while the previous
+step executes (double buffering); metrics transfer only scalar values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phantom_vlb_tpu.core.mesh import MeshEnv
+from phantom_vlb_tpu.train.checkpoint import CheckpointManager
+from phantom_vlb_tpu.train.metrics import (
+    CSVMetricsLogger,
+    pearson_compute,
+    pearson_init,
+    roi_metric_names,
+)
+from phantom_vlb_tpu.train.optim import OptimConfig, make_optimizer
+from phantom_vlb_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = ["TrainLoopConfig", "VLBTrainer"]
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    max_epochs: int = 10
+    val_check_interval: float = 0.2
+    log_every_n_steps: int = 15
+    seed: int = 1234
+    output_dir: str = "./results"
+    run_name: str = "vlb"
+    num_target: int = 1000
+    checkpoint: bool = True
+
+
+class VLBTrainer:
+    """Drives (train_loader, val_loader) through jitted steps."""
+
+    def __init__(
+        self,
+        forward_fn,
+        params: Any,
+        optim_config: OptimConfig,
+        loop_config: TrainLoopConfig,
+        trainable_label_tree=None,
+        mesh_env: MeshEnv | None = None,
+        csv_logger: CSVMetricsLogger | None = None,
+        extra_loggers: Iterable = (),
+    ):
+        self.config = loop_config
+        self.mesh_env = mesh_env
+        self.tx = make_optimizer(optim_config, trainable_label_tree)
+        self.state = init_train_state(params, self.tx)
+        if mesh_env is not None:
+            # Keep params/opt state replicated unless the caller sharded them.
+            pass
+        self.train_step = make_train_step(forward_fn, self.tx)
+        self.eval_step = make_eval_step(forward_fn)
+        self.csv_logger = csv_logger or CSVMetricsLogger(
+            loop_config.output_dir, loop_config.run_name
+        )
+        self.extra_loggers = list(extra_loggers)
+        self.ckpt = (
+            CheckpointManager(loop_config.output_dir) if loop_config.checkpoint else None
+        )
+        self._rng = jax.random.key(loop_config.seed)
+        self.global_step = 0
+        self.epoch = 0
+        self.last_val_metrics: dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _put(self, batch) -> Mapping[str, jnp.ndarray]:
+        arrays = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+        if self.mesh_env is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        out = {}
+        for k, v in arrays.items():
+            spec = self.mesh_env.batch() if np.ndim(v) >= 1 else self.mesh_env.replicated()
+            out[k] = jax.device_put(v, spec)
+        return out
+
+    def _log(self, metrics: Mapping[str, Any]) -> None:
+        self.csv_logger.log_metrics(metrics, self.global_step, self.epoch)
+        for logger in self.extra_loggers:
+            logger.log_metrics(metrics, self.global_step, self.epoch)
+
+    # ------------------------------------------------------------------
+    def validate(self, val_loader) -> dict[str, float]:
+        pearson = pearson_init(self.config.num_target)
+        total_loss, total_n = 0.0, 0.0
+        for batch in val_loader:
+            dev_batch = self._put(batch)
+            pearson, metrics = self.eval_step(
+                self.state.params, dev_batch, pearson, self._next_rng()
+            )
+            n = float(metrics["n"])
+            total_loss += float(metrics["brain_loss"]) * n
+            total_n += n
+        corr = np.asarray(pearson_compute(pearson))
+        val_loss = total_loss / max(total_n, 1.0)
+
+        row: dict[str, float] = {"val/brain_loss": val_loss}
+        for name, value in zip(roi_metric_names(self.config.num_target), corr):
+            row[name] = float(value)
+        row["val_corr_avg"] = float(np.nanmean(corr))
+        self._log(row)
+        self.last_val_metrics = row
+        if self.ckpt is not None:
+            self.ckpt.save_on_validation(
+                self.state, val_loss, self.epoch, self.global_step
+            )
+        return row
+
+    def fit(self, train_loader, val_loader) -> dict[str, float]:
+        cfg = self.config
+        for self.epoch in range(cfg.max_epochs):
+            n_batches = len(train_loader)
+            val_every = (
+                max(1, int(n_batches * cfg.val_check_interval))
+                if cfg.val_check_interval
+                else 0
+            )
+            running: dict[str, float] = {}
+            t0 = time.monotonic()
+            for i, batch in enumerate(train_loader):
+                dev_batch = self._put(batch)
+                self.state, metrics = self.train_step(
+                    self.state, dev_batch, self._next_rng()
+                )
+                self.global_step += 1
+                if self.global_step % cfg.log_every_n_steps == 0:
+                    self._log({"train/brain_loss": float(metrics["brain_loss"])})
+                if val_every and (i + 1) % val_every == 0 and (i + 1) < n_batches:
+                    self.validate(val_loader)
+            self.validate(val_loader)
+        if self.ckpt is not None:
+            self.ckpt.save_last(self.state)
+        return self.last_val_metrics

@@ -1,0 +1,77 @@
+"""Optimizer / schedule factory.
+
+Reference recipe (litmodule.py:345-379 + experiment yamls): AdamW over
+``requires_grad`` params only, lr 1e-4, betas (0.9, 0.999), eps 1e-8, weight
+decay 1e-2, ``CosineAnnealingLR(T_max=50000)`` stepped **per step**, global
+gradient clip 1.0 (trainer ``gradient_clip_val: 1``).
+
+TPU mapping: one ``optax.chain`` of global-norm clip + AdamW on a cosine
+decay schedule; frozen parameters are routed to ``optax.set_to_zero`` via
+``optax.multi_transform`` so optimizer state exists only for trainable leaves
+(the LoRA memory property the reference gets from param filtering).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import optax
+
+__all__ = ["OptimConfig", "make_optimizer", "trainable_labels"]
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-4
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 1e-2
+    lr_scheduler_name: str = "CosineAnnealingLR"
+    t_max: int = 50_000
+    grad_clip: float = 1.0
+
+
+def make_schedule(config: OptimConfig) -> optax.Schedule:
+    if config.lr_scheduler_name == "CosineAnnealingLR":
+        # torch: eta_t = lr * (1 + cos(pi * t / T_max)) / 2  (eta_min = 0)
+        return optax.cosine_decay_schedule(
+            init_value=config.lr, decay_steps=config.t_max, alpha=0.0
+        )
+    if config.lr_scheduler_name in ("constant", "ConstantLR"):
+        return optax.constant_schedule(config.lr)
+    raise ValueError(f"unknown scheduler {config.lr_scheduler_name!r}")
+
+
+def trainable_labels(params, predicate: Callable[[tuple, object], bool]):
+    """Label tree: 'train' where predicate(path, leaf) else 'freeze'."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    labels = {}
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: "train" if predicate(path, leaf) else "freeze", params
+    )
+
+
+def make_optimizer(
+    config: OptimConfig,
+    trainable_label_tree=None,
+) -> optax.GradientTransformation:
+    schedule = make_schedule(config)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=config.betas[0],
+            b2=config.betas[1],
+            eps=config.eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+    if trainable_label_tree is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            trainable_label_tree,
+        )
+    return tx
