@@ -1,0 +1,246 @@
+"""Mistral-7B-Instruct decoder, from scratch in Flax.
+
+The reference consumes Mistral through the (empty) VideoLLaMA2 submodule
+(``Videollama2MistralForCausalLM``, litmodule.py:18-20,74-82); architecture
+facts are reconstructed from the reference's numeric contracts (hidden 4096,
+32 layers + embeddings = 33 hidden states, vocab 32000, litmodule.py:239-243)
+and the public Mistral-7B-v0.2 configuration (GQA 32/8 heads, head dim 128,
+SwiGLU MLP 14336, RMSNorm, rotary theta 1e6, no sliding window in v0.2).
+
+TPU design:
+- attention runs through :mod:`phantom_vlb_tpu.ops.flash_attention`
+  (Pallas on TPU, XLA fallback elsewhere);
+- layers carry explicit ``kernel_axes`` metadata (via
+  ``flax.linen.with_partitioning``-free plain logical names) consumed by
+  ``parallel.sharding`` to build FSDP/TP NamedShardings;
+- ``remat='block'`` wraps each decoder block in ``jax.checkpoint`` — the
+  reference's activation-checkpointing-per-MistralDecoderLayer
+  (train_dev_nohydra.py:87-90);
+- the stack is iterated with a Python loop (32 static layers, one HLO each);
+  weights stay bf16-castable via ``dtype``/``param_dtype`` separation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from phantom_vlb_tpu.ops.flash_attention import attention as flash_attention
+
+__all__ = ["MistralConfig", "MistralModel", "MistralForCausalLM"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MistralConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 1e6
+    max_position_embeddings: int = 32768
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
+    remat: bool = True
+
+    @staticmethod
+    def tiny(**overrides) -> "MistralConfig":
+        """A tiny config for tests (parity vs transformers MistralModel)."""
+        base = dict(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, dtype=jnp.float32,
+            remat=False, attention_impl="xla",
+        )
+        base.update(overrides)
+        return MistralConfig(**base)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        weight = self.param(
+            "weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype
+        )
+        return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF 'split-half' convention.
+
+    x: (B, H, S, D); positions: (B, S) int32.
+    HF rotates [x1, x2] halves: out = x*cos + rotate_half(x)*sin with
+    cos/sin built from concatenated frequencies.
+    """
+    d = x.shape[-1]
+    inv_freq = rope_frequencies(d, theta)                 # (D/2,)
+    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # (B,1,S,D/2)
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class MistralAttention(nn.Module):
+    config: MistralConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_mask=None):
+        cfg = self.config
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, name=name,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
+        b, s, _ = x.shape
+        h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        q = dense(h * d, "q_proj")(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = dense(hkv * d, "k_proj")(x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        v = dense(hkv * d, "v_proj")(x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        out = flash_attention(
+            q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return dense(cfg.hidden_size, "o_proj")(out)
+
+
+class MistralMLP(nn.Module):
+    config: MistralConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, name=name,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+
+class MistralDecoderLayer(nn.Module):
+    config: MistralConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_mask=None):
+        cfg = self.config
+        h = x + MistralAttention(cfg, name="self_attn")(
+            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                    name="input_layernorm")(x),
+            positions,
+            kv_mask,
+        )
+        out = h + MistralMLP(cfg, name="mlp")(
+            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                    name="post_attention_layernorm")(h)
+        )
+        return out
+
+
+class MistralModel(nn.Module):
+    """Decoder stack over *embeddings* (the multimodal splice feeds embeds)."""
+
+    config: MistralConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, name="embed_tokens",
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
+        block = MistralDecoderLayer
+        if cfg.remat:
+            block = nn.remat(
+                MistralDecoderLayer,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        self.layers = [
+            block(cfg, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+        self.final_norm = RMSNorm(
+            cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="norm"
+        )
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,        # (B, S, E)
+        positions: jnp.ndarray | None = None,
+        kv_mask: jnp.ndarray | None = None,
+        output_hidden_states: bool = False,
+    ):
+        cfg = self.config
+        b, s, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+        x = inputs_embeds.astype(cfg.dtype)
+        # HF semantics (the reference pools ``hidden_states[-1]``,
+        # litmodule.py:245): the tuple holds the INPUT of every decoder layer
+        # (embeddings first) plus, last, the post-final-norm output — 33
+        # entries for 32 layers (litmodule.py:240).
+        hidden_states = [] if output_hidden_states else None
+
+        for layer in self.layers:
+            if output_hidden_states:
+                hidden_states.append(x)
+            x = layer(x, positions, kv_mask)
+
+        x = self.final_norm(x)
+        if output_hidden_states:
+            hidden_states.append(x)
+            return x, hidden_states
+        return x
+
+
+class MistralForCausalLM(nn.Module):
+    config: MistralConfig
+
+    def setup(self):
+        self.model = MistralModel(self.config)
+        self.lm_head = nn.Dense(
+            self.config.vocab_size, use_bias=False, name="lm_head_dense",
+            dtype=self.config.dtype, param_dtype=self.config.param_dtype,
+        )
+
+    def __call__(self, input_ids, kv_mask=None, output_hidden_states=False):
+        embeds = self.model.embed(input_ids)
+        out = self.model(
+            embeds, kv_mask=kv_mask, output_hidden_states=output_hidden_states
+        )
+        if output_hidden_states:
+            x, hidden_states = out
+            return self.lm_head(x), hidden_states
+        return self.lm_head(out)

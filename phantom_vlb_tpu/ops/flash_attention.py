@@ -1,0 +1,442 @@
+"""Flash attention for TPU (Pallas) with XLA reference fallback.
+
+Replaces the reference's CUDA flash-attention-2 dependency
+(``_attn_implementation="flash_attention_2"``, litmodule.py:71-72) for the
+~3230-token multimodal sequences of the Mistral blocks.
+
+Design (see /opt/skills/guides/boom_attention_tricks.md):
+- online softmax, (block_q x block_kv) tiles, fp32 statistics in VMEM scratch;
+- GQA handled in the BlockSpec index maps (kv head = q head // group) — K/V are
+  never materialized at query-head multiplicity;
+- causal masking skips whole KV tiles above the diagonal; an optional
+  per-token ``kv_mask`` (B, Skv) handles padding (the reference's
+  ``attention_mask = lang.ne(0)``, litmodule.py:271);
+- custom VJP: forward saves (out, logsumexp); backward runs two kernels —
+  dq (grid over q tiles, loop kv) and dk/dv (grid over kv tiles, loop
+  group x q tiles) — so the (S, S) score matrix is never materialized.
+
+``impl='xla'`` selects a pure-XLA reference implementation (used in tests and
+as the CPU fallback); ``impl='pallas'`` the kernels; ``'auto'`` picks by
+backend.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attention", "xla_attention"]
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (also the CPU fallback).
+# ---------------------------------------------------------------------------
+def xla_attention(q, k, v, *, causal=True, sm_scale=None, kv_mask=None):
+    """O = softmax(Q K^T / sqrt(d)) V with GQA; shapes (B,H,S,D)/(B,Hkv,S,D)."""
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    qg = q.reshape(b, hkv, group, sq, d)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    s = s * sm_scale
+
+    skv = k.shape[2]
+    mask = jnp.ones((sq, skv), bool)
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, skv), bool), k=skv - sq)
+    mask = mask[None, None, None]
+    if kv_mask is not None:
+        mask = mask & (kv_mask[:, None, None, None, :] > 0)
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v)
+    return out.reshape(b, hq, sq, d)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels.
+# ---------------------------------------------------------------------------
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, causal, sm_scale, nk, bq, bk,
+):
+    qi, ki = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    run = True
+    if causal:
+        run = ((qi + 1) * bq - 1) >= (ki * bk)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+            mask = col <= row
+        if mask_ref is not None:
+            kvm = mask_ref[0, 0:1, :] > 0  # (1, bk)
+            kvm = jnp.broadcast_to(kvm, (bq, bk))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref, dq_ref,
+    dq_scr,
+    *, causal, sm_scale, nk, bq, bk,
+):
+    qi, ki = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        run = ((qi + 1) * bq - 1) >= (ki * bk)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]           # (bq, 1)
+        di = di_ref[0, 0][:, :1]             # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+            mask = col <= row
+        if mask_ref is not None:
+            kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)
+        dq_scr[...] += sm_scale * jax.lax.dot(
+            ds.astype(q.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, causal, sm_scale, group, nq, bq, bk,
+):
+    # grid: (B, Hkv, nk, group, nq)
+    ki, gi, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+
+    @pl.when((gi == 0) & (qi == 0))
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal:
+        run = ((qi + 1) * bq - 1) >= (ki * bk)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
+            mask = col <= row
+        if mask_ref is not None:
+            kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
+            mask = kvm if mask is None else (mask & kvm)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+
+        p = jnp.exp(s - lse)                                   # (bq, bk)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)                                     # (bq, bk)
+        dk_scr[...] += sm_scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when((gi == group - 1) & (qi == nq - 1))
+    def _():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Wrappers.
+# ---------------------------------------------------------------------------
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    nq = pl.cdiv(sq, bq)
+    nk = pl.cdiv(skv, bk)
+    sq_p, skv_p = nq * bq, nk * bk
+
+    qp = _pad_to(q, sq_p, 2)
+    kp = _pad_to(k, skv_p, 2)
+    vp = _pad_to(v, skv_p, 2)
+    if kv_mask is None:
+        maskp = jnp.ones((b, 1, skv_p), jnp.int32)
+        if skv_p != skv:
+            maskp = maskp.at[:, :, skv:].set(0)
+    else:
+        maskp = _pad_to(kv_mask.astype(jnp.int32)[:, None, :], skv_p, 2)
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+    return out[:, :, :sq], lse[:, :, :sq, 0], maskp
+
+
+def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    nq = pl.cdiv(sq, bq)
+    nk = pl.cdiv(skv, bk)
+    sq_p, skv_p = nq * bq, nk * bk
+
+    qp = _pad_to(q, sq_p, 2)
+    kp = _pad_to(k, skv_p, 2)
+    vp = _pad_to(v, skv_p, 2)
+    dop = _pad_to(do, sq_p, 2)
+    op = _pad_to(o, sq_p, 2)
+
+    di = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (*di.shape, 128))
+    lsep = _pad_to(lse, sq_p, 2)
+    lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 128))
+
+    dq_kernel = functools.partial(
+        _dq_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, kv_maskp, dop, lsep, di)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, causal=causal, sm_scale=sm_scale,
+        group=group, nq=nq, bq=bq, bk=bk,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, hkv, nk, group, nq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+            ),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b_, h, j, g, i: (b_, 0, j)),
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, 128), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, 128), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, kv_maskp, dop, lsep, di)
+
+    return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
+    out, _, _ = _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
+    out, lse, maskp = _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
+    return out, (q, k, v, maskp, out, lse)
+
+
+def _flash_bwd(causal, sm_scale, bq, bk, interpret, res, do):
+    q, k, v, maskp, out, lse = res
+    dq, dk, dv = _bwd_impl(
+        q, k, v, maskp, out, lse, do, causal, sm_scale, bq, bk, interpret
+    )
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention(
+    q, k, v,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    kv_mask=None,
+    impl: str = "auto",
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool | None = None,
+):
+    """Multi-head (GQA) attention; shapes q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale, kv_mask=kv_mask)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, max(q.shape[2], 8))
+    bk = min(block_kv, max(k.shape[2], 128))
+    return _flash(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
