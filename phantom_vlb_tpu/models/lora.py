@@ -1,0 +1,106 @@
+"""LoRA for Flax Dense layers.
+
+Reference behavior (litmodule.py:36-55,101-120 via peft): LoRA adapters with
+rank r / scaling alpha/r / dropout on the adapter input, targeting every
+linear layer of the LLM except the connector (``mm_projector``), the vision
+tower, and ``lm_head``; all base weights frozen (peft ``get_peft_model``).
+
+TPU-native form: :class:`LoRADense` is a drop-in ``nn.Dense`` whose base
+kernel is wrapped in ``stop_gradient`` (XLA then dead-code-eliminates the
+base-weight backward entirely) and whose adapter path computes
+``(dropout(x) @ A) @ B * alpha/r`` — never materializing ``W + AB``.
+Adapter params are named ``lora_a``/``lora_b`` so the optimizer's
+trainable-label predicate and the adapter-only checkpoint filter
+(train/checkpoint.py) can select them by name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LoRAConfig", "LoRADense", "is_lora_path", "lora_merge"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAConfig:
+    rank: int = 16          # lora.yaml:28 (r=16)
+    alpha: float = 32.0     # lora.yaml:29
+    dropout: float = 0.1    # lora.yaml:30
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+class LoRADense(nn.Module):
+    features: int
+    lora: LoRAConfig
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        # Base path — frozen (peft semantics); stop_gradient lets XLA drop
+        # the base dW computation.
+        y = x @ jax.lax.stop_gradient(kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + jax.lax.stop_gradient(bias.astype(self.dtype))
+
+        a = self.param(
+            "lora_a",
+            nn.initializers.he_uniform(),
+            (in_features, self.lora.rank),
+            self.param_dtype,
+        )
+        b = self.param(
+            "lora_b",
+            nn.initializers.zeros,
+            (self.lora.rank, self.features),
+            self.param_dtype,
+        )
+        z = x
+        if self.lora.dropout and not deterministic:
+            z = nn.Dropout(self.lora.dropout, deterministic=False)(z)
+        z = (z @ a.astype(self.dtype)) @ b.astype(self.dtype)
+        return y + z * jnp.asarray(self.lora.scaling, self.dtype)
+
+
+def is_lora_path(path: str) -> bool:
+    """Adapter selector for optimizer labels / adapter-only checkpoints."""
+    return "lora_a" in path or "lora_b" in path
+
+
+def lora_merge(params, scaling: float):
+    """Fold adapters into base kernels (W <- W + scaling * A B) for export.
+
+    Returns a new tree with ``lora_a``/``lora_b`` leaves removed.
+    """
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict) and {"kernel", "lora_a", "lora_b"} <= set(v.keys()):
+            merged = dict(v)
+            merged["kernel"] = v["kernel"] + scaling * (v["lora_a"] @ v["lora_b"])
+            merged.pop("lora_a")
+            merged.pop("lora_b")
+            out[k] = merged
+        else:
+            out[k] = lora_merge(v, scaling)
+    return out

@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from phantom_vlb_tpu.models.lora import LoRAConfig, LoRADense
 from phantom_vlb_tpu.ops.flash_attention import attention as flash_attention
 
 __all__ = ["MistralConfig", "MistralModel", "MistralForCausalLM"]
@@ -50,6 +51,9 @@ class MistralConfig:
     param_dtype: Any = jnp.float32
     attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
     remat: bool = True
+    # LoRA on every projection (the reference's find_all_linear_names targets,
+    # litmodule.py:36-55); None disables.
+    lora: LoRAConfig | None = None
 
     @staticmethod
     def tiny(**overrides) -> "MistralConfig":
@@ -106,22 +110,36 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
     return out.astype(x.dtype)
 
 
+def _proj(cfg: MistralConfig, feats: int, name: str):
+    """Projection factory: plain Dense, or LoRADense when LoRA is on."""
+    if cfg.lora is not None:
+        return LoRADense(feats, cfg.lora, use_bias=False,
+                         dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+    return nn.Dense(feats, use_bias=False, name=name,
+                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+
+
+def _call_proj(cfg: MistralConfig, proj, x, deterministic):
+    if cfg.lora is not None:
+        return proj(x, deterministic)
+    return proj(x)
+
+
 class MistralAttention(nn.Module):
     config: MistralConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask=None):
+    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
         cfg = self.config
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, name=name,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        )
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-        q = dense(h * d, "q_proj")(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
-        k = dense(hkv * d, "k_proj")(x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
-        v = dense(hkv * d, "v_proj")(x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        def proj(feats, name, y):
+            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic)
+
+        q = proj(h * d, "q_proj", x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = proj(hkv * d, "k_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        v = proj(hkv * d, "v_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
 
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
@@ -130,39 +148,41 @@ class MistralAttention(nn.Module):
             q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        return dense(cfg.hidden_size, "o_proj")(out)
+        return proj(cfg.hidden_size, "o_proj", out)
 
 
 class MistralMLP(nn.Module):
     config: MistralConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, name=name,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        )
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
-        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+        def proj(feats, name, y):
+            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic)
+
+        gate = proj(cfg.intermediate_size, "gate_proj", x)
+        up = proj(cfg.intermediate_size, "up_proj", x)
+        return proj(cfg.hidden_size, "down_proj", nn.silu(gate) * up)
 
 
 class MistralDecoderLayer(nn.Module):
     config: MistralConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask=None):
+    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
         cfg = self.config
         h = x + MistralAttention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
                     name="input_layernorm")(x),
             positions,
             kv_mask,
+            deterministic,
         )
         out = h + MistralMLP(cfg, name="mlp")(
             RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
-                    name="post_attention_layernorm")(h)
+                    name="post_attention_layernorm")(h),
+            deterministic,
         )
         return out
 
@@ -183,6 +203,7 @@ class MistralModel(nn.Module):
             block = nn.remat(
                 MistralDecoderLayer,
                 policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=(4,),
             )
         self.layers = [
             block(cfg, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
@@ -200,6 +221,7 @@ class MistralModel(nn.Module):
         positions: jnp.ndarray | None = None,
         kv_mask: jnp.ndarray | None = None,
         output_hidden_states: bool = False,
+        deterministic: bool = True,
     ):
         cfg = self.config
         b, s, _ = inputs_embeds.shape
@@ -216,7 +238,7 @@ class MistralModel(nn.Module):
         for layer in self.layers:
             if output_hidden_states:
                 hidden_states.append(x)
-            x = layer(x, positions, kv_mask)
+            x = layer(x, positions, kv_mask, deterministic)
 
         x = self.final_norm(x)
         if output_hidden_states:
