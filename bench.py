@@ -1,0 +1,147 @@
+"""Benchmark: VLB LoRA train-step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Friends clips/sec/chip for the jitted LoRA training step (the
+reference's hot path: train_run_lora.sh recipe — VideoLLaMA2 backbone at the
+production geometry, 2048-token multimodal sequence, LoRA r=16, HRF head,
+AdamW+cosine+clip), measured end-to-end including host sync.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+denominator is an engineering estimate of the reference recipe's throughput
+on its actual hardware (1x H100 80GB, batch 3, bf16): analytic train
+FLOPs/clip from this exact model config divided by H100 bf16 peak (989
+TFLOP/s) at 45% MFU. The estimate's derivation is printed to stderr; it will
+be replaced by a measured PyTorch-reference number when the full-scale
+measurement lands.
+
+Scale: VLB_BENCH_LAYERS controls decoder depth (default 32 = full 7B,
+falling back 16 -> 8 on OOM so the bench always reports something honest —
+the metric name carries the layer count when truncated).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(layers: int, batch_size: int):
+    from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig
+    from phantom_vlb_tpu.models.lora import LoRAConfig
+    from phantom_vlb_tpu.models.mistral import MistralConfig
+    from phantom_vlb_tpu.models.stc_connector import STCConfig
+    from phantom_vlb_tpu.models.videollama2 import (
+        VLBConfig,
+        VideoLLaMA2VLB,
+        trainable_predicate,
+        vlb_forward_fn,
+    )
+    from phantom_vlb_tpu.train.optim import OptimConfig, make_optimizer, trainable_labels
+    from phantom_vlb_tpu.train.step import init_train_state, make_train_step
+    from __graft_entry__ import _example_batch
+
+    # Full production geometry; bf16 master params to fit one 16 GB chip.
+    config = VLBConfig(
+        clip=CLIPVisionConfig(param_dtype=jnp.bfloat16),
+        stc=STCConfig(param_dtype=jnp.bfloat16),
+        mistral=MistralConfig(
+            num_hidden_layers=layers,
+            param_dtype=jnp.bfloat16,
+            lora=LoRAConfig(),
+        ),
+        freeze_backbone=False,
+    )
+    config.validate()
+    model = VideoLLaMA2VLB(config)
+    batch = _example_batch(config.geometry, batch_size, config.mistral.vocab_size)
+
+    init = jax.jit(
+        lambda key: model.init(
+            key, batch["language"], batch["vision"], batch["padvals"],
+            batch["vis_weights"], batch["lang_weights"],
+        )["params"]
+    )
+    params = init(jax.random.key(0))
+    jax.block_until_ready(params)
+
+    labels = trainable_labels(params, trainable_predicate)
+    tx = make_optimizer(OptimConfig(), labels)
+    state = jax.jit(lambda p: init_train_state(p, tx))(params)
+    step = make_train_step(vlb_forward_fn(model), tx, donate=True)
+    return config, state, step, batch
+
+
+def train_flops_per_clip(config) -> float:
+    """Analytic train FLOPs per clip for the LoRA recipe (fwd + act-bwd)."""
+    g = config.geometry
+    m = config.mistral
+    seq = g.feature_len
+    # Mistral matmul params per layer.
+    attn = m.hidden_size * m.head_dim * (
+        m.num_attention_heads * 2 + m.num_key_value_heads * 2
+    )
+    mlp = 3 * m.hidden_size * m.intermediate_size
+    layer_params = attn + mlp
+    fwd = 2 * layer_params * seq * m.num_hidden_layers
+    fwd += 2 * 2 * seq * seq * m.head_dim * m.num_attention_heads * m.num_hidden_layers * 0.5
+    # LoRA backward: activations-grad path (~2x fwd matmuls), no base dW.
+    llm = fwd * 3
+    # Frozen CLIP tower forward: 12 frames x 577 tokens.
+    c = config.clip
+    clip_params = c.num_hidden_layers * (
+        4 * c.hidden_size * c.hidden_size + 2 * c.hidden_size * c.intermediate_size
+    )
+    clip = 2 * clip_params * 577 * g.num_frames
+    return llm + clip
+
+
+def main():
+    layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
+    batch_size = int(os.environ.get("VLB_BENCH_BATCH", "3"))  # lora.yaml:16
+    steps = int(os.environ.get("VLB_BENCH_STEPS", "10"))
+
+    last_err = None
+    for layers in [n for n in (layers_env, 16, 8) if n <= layers_env] or [layers_env]:
+        try:
+            config, state, step, batch = build(layers, batch_size)
+            rng = jax.random.key(1)
+            # Warmup / compile.
+            state, metrics = step(state, batch, rng)
+            _ = float(metrics["brain_loss"])
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+            _ = float(metrics["brain_loss"])  # host fetch = sync
+            dt = (time.perf_counter() - t0) / steps
+            clips_per_sec = batch_size / dt
+
+            # Reference-estimate denominator (see module docstring).
+            ref_flops = train_flops_per_clip(config)
+            ref_clips_per_sec = 989e12 * 0.45 / ref_flops
+            print(
+                f"[bench] layers={layers} batch={batch_size} step={dt * 1e3:.1f} ms "
+                f"flops/clip={ref_flops / 1e12:.1f}T "
+                f"ref_H100_est={ref_clips_per_sec:.2f} clips/s",
+                file=sys.stderr,
+            )
+            suffix = "" if layers == 32 else f"@{layers}L"
+            print(json.dumps({
+                "metric": f"lora_train_clips_per_sec_per_chip{suffix}",
+                "value": round(clips_per_sec, 4),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_sec / ref_clips_per_sec, 4),
+            }))
+            return
+        except Exception as e:  # OOM or compile failure: try smaller
+            last_err = e
+            print(f"[bench] layers={layers} failed: {e}", file=sys.stderr)
+    raise SystemExit(f"bench failed at all scales: {last_err}")
+
+
+if __name__ == "__main__":
+    main()
