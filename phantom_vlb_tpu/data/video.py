@@ -1,0 +1,170 @@
+"""Video frame sampling + CLIP preprocessing for feature extraction.
+
+Parity-critical numerics (SURVEY.md §7 hard-part 3):
+
+- TR window geometry (extractfeatures.py:303-349): for each TR-end time ``t``
+  the window covers ``[max(0, t - window*tr), t]``; frame bounds are
+  ``f_start = max(int(start*fps) - 1, 0)`` and
+  ``f_end = min(int(end*fps) - 1, n_frames - 1)``; ``num_frames =
+  round((end-start)/tr) * frames_per_tr`` uniform-sampled indices; short
+  head-of-episode windows are padded to ``window*frames_per_tr`` with black
+  frames.
+- ``frame_sample`` uniform mode (VideoLLaMA2 mm_utils):
+  ``seg_size = (duration - 1) / num_frames``; index ``i`` samples
+  ``int(seg_size / 2) + round(seg_size * i)``.
+- ``expand2square`` pads to square with the CLIP pixel-mean fill color, then
+  the CLIP processor resizes to 336x336 and normalizes.
+
+The host (numpy) implementation below is the byte-parity reference; a fused
+device-side resize+normalize lives in ops/preprocess.py for the on-TPU
+extraction path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Protocol, Sequence
+
+import numpy as np
+
+from phantom_vlb_tpu.core.geometry import VLBGeometry
+
+__all__ = [
+    "CLIP_MEAN",
+    "CLIP_STD",
+    "VideoSource",
+    "ArrayVideoSource",
+    "frame_sample",
+    "tr_window_indices",
+    "expand2square",
+    "clip_preprocess",
+    "extract_video_chunk",
+    "tr_end_times",
+]
+
+# OpenAI CLIP normalization constants (the vision tower's processor).
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class VideoSource(Protocol):
+    """Minimal decoder interface (decord ``VideoReader`` equivalent)."""
+
+    @property
+    def fps(self) -> float: ...
+    @property
+    def num_frames(self) -> int: ...
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """(N, H, W, 3) uint8 RGB frames."""
+        ...
+
+
+@dataclasses.dataclass
+class ArrayVideoSource:
+    """In-memory source for tests / synthetic data."""
+
+    frames: np.ndarray  # (N, H, W, 3) uint8
+    _fps: float = 29.97
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.frames)
+
+    def get_batch(self, indices):
+        return self.frames[np.asarray(indices, int)]
+
+
+def tr_end_times(duration: float, tr: float) -> list[float]:
+    """TR-end timestamps (extractfeatures.py:314-317)."""
+    return (np.array(range(1, math.ceil(duration / tr))) * tr).tolist()
+
+
+def frame_sample(duration: int, num_frames: int) -> list[int]:
+    """VideoLLaMA2 uniform frame sampling."""
+    seg_size = float(duration - 1) / num_frames
+    return [int(seg_size / 2) + int(np.round(seg_size * idx)) for idx in range(num_frames)]
+
+
+def tr_window_indices(
+    end_time: float,
+    win_dur: int,
+    fps: float,
+    num_frames_of_video: int,
+    tr: float,
+    frames_per_tr: int,
+) -> list[int]:
+    """Absolute frame indices sampled for one TR window."""
+    start_time = max(0, end_time - tr * win_dur)
+    f_start = max(int(start_time * fps) - 1, 0)
+    f_end = min(int(end_time * fps) - 1, num_frames_of_video - 1)
+    all_frame_indices = list(range(f_start, f_end + 1))
+    duration = len(all_frame_indices)
+    num_frames = round((end_time - start_time) / tr) * frames_per_tr
+    return [all_frame_indices[i] for i in frame_sample(duration, num_frames)]
+
+
+def expand2square(img: np.ndarray, fill: tuple[int, int, int]) -> np.ndarray:
+    """Pad an (H, W, 3) uint8 image to square, centered, with fill color."""
+    h, w = img.shape[:2]
+    if h == w:
+        return img
+    side = max(h, w)
+    out = np.empty((side, side, 3), img.dtype)
+    out[:] = np.asarray(fill, img.dtype)
+    if w > h:
+        top = (side - h) // 2
+        out[top : top + h, :] = img
+    else:
+        left = (side - w) // 2
+        out[:, left : left + w] = img
+    return out
+
+
+def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize via PIL (matches the HF CLIP image processor)."""
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((size, size), Image.BICUBIC), np.uint8
+    )
+
+
+def clip_preprocess(images: Sequence[np.ndarray], image_size: int) -> np.ndarray:
+    """(T, 3, H, W) float32 normalized frames (HF CLIPImageProcessor path).
+
+    rescale 1/255 -> resize (bicubic, as HF CLIP) -> normalize; inputs are
+    already square (expand2square), so resize+center-crop == direct resize.
+    """
+    out = np.empty((len(images), 3, image_size, image_size), np.float32)
+    for i, img in enumerate(images):
+        if img.shape[0] != image_size:
+            img = _resize_bilinear(img, image_size)
+        arr = img.astype(np.float32) / 255.0
+        arr = (arr - CLIP_MEAN) / CLIP_STD
+        out[i] = arr.transpose(2, 0, 1)
+    return out
+
+
+def extract_video_chunk(
+    source: VideoSource,
+    end_time: float,
+    geometry: VLBGeometry,
+) -> np.ndarray:
+    """One TR's (num_frames, 3, H, W) tensor (extractfeatures.py:320-349)."""
+    g = geometry
+    indices = tr_window_indices(
+        end_time, g.window, source.fps, source.num_frames, g.tr, g.frames_per_tr
+    )
+    frames = [f for f in source.get_batch(indices)]
+    # Head-of-episode windows: pad with black frames to the full window.
+    fill_shape = frames[-1].shape
+    while len(frames) < g.num_frames:
+        frames.append(np.zeros(fill_shape, np.uint8))
+    fill = tuple(int(x * 255) for x in CLIP_MEAN)
+    images = [expand2square(f, fill) for f in frames]
+    return clip_preprocess(images, g.image_size)
