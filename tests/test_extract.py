@@ -7,6 +7,7 @@ import pytest
 from phantom_vlb_tpu.core.geometry import VIDEO_TOKEN_ID
 from phantom_vlb_tpu.data.extract import ExtractConfig, extract_episode, extract_features, get_input_paths
 from phantom_vlb_tpu.data.schemas import read_feature_episode, validate_features_file
+from phantom_vlb_tpu.core.geometry import VLBGeometry
 from phantom_vlb_tpu.data.synthetic import TEST_GEOMETRY
 from phantom_vlb_tpu.data.text import (
     WordPieceTestTokenizer,
@@ -24,6 +25,15 @@ from phantom_vlb_tpu.data.video import (
     tr_end_times,
     tr_window_indices,
 )
+
+
+# Extraction needs a real text budget (the fixed prompt alone is ~60 test
+# tokens); same visual geometry as TEST_GEOMETRY but max_lang_tokens=230.
+EXTRACT_GEOMETRY = VLBGeometry(
+    tr=1.49, frames_per_tr=2, window=2, delay=1, model_max_length=256,
+    image_size=56, patch_size=14, onsets_width=16, num_parcels=8,
+)
+EXTRACT_GEOMETRY.validate()
 
 
 def _transcript_df(n_tr, geom, with_gaps=True):
@@ -57,7 +67,7 @@ def test_scene_onsets():
 
 def test_prep_text_contract():
     tok = WordPieceTestTokenizer()
-    geom = TEST_GEOMETRY
+    geom = EXTRACT_GEOMETRY
     out = prep_text(
         "earlier scene words here",
         "hello world ",
@@ -138,7 +148,7 @@ def test_extract_video_chunk_pads_black():
 
 
 def test_extract_episode_end_to_end():
-    g = TEST_GEOMETRY
+    g = EXTRACT_GEOMETRY
     rng = np.random.default_rng(1)
     n_tr = 8
     duration_frames = int(n_tr * g.tr * 30) + 30
@@ -159,7 +169,7 @@ def test_extract_episode_end_to_end():
 
 def test_extract_features_resume(tmp_path):
     """Episode-level resume (extractfeatures.py:113-126)."""
-    g = TEST_GEOMETRY
+    g = EXTRACT_GEOMETRY
     for sub in ("transcripts", "segs", "videos"):
         (tmp_path / sub).mkdir()
     rng = np.random.default_rng(2)
