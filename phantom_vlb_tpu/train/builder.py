@@ -1,0 +1,231 @@
+"""Assembly: config tree -> loaders, model, trainer (the train.py composition).
+
+Mirrors the reference's Hydra-driven assembly (train.py:7-58): seed, build
+datamodule (train/val split), build the model for the selected regime, build
+the trainer (callbacks/loggers equivalent), fit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phantom_vlb_tpu.core.config import Config
+from phantom_vlb_tpu.core.mesh import MeshConfig, build_mesh
+from phantom_vlb_tpu.data.loader import (
+    BatchLoader,
+    LazyDataset,
+    expand_lazyload_glob,
+    split_train_val,
+)
+from phantom_vlb_tpu.models.lora import LoRAConfig
+from phantom_vlb_tpu.models.mistral import MistralConfig
+from phantom_vlb_tpu.models.videollama2 import (
+    VLBConfig,
+    VideoLLaMA2VLB,
+    trainable_predicate,
+    vlb_forward_fn,
+)
+from phantom_vlb_tpu.parallel.sharding import shard_params
+from phantom_vlb_tpu.train.loop import TrainLoopConfig, VLBTrainer
+from phantom_vlb_tpu.train.optim import OptimConfig, trainable_labels
+
+__all__ = ["build_loaders", "build_model_config", "build_trainer", "run_training"]
+
+
+def build_loaders(dm: Config) -> tuple[BatchLoader, BatchLoader, dict]:
+    files = expand_lazyload_glob(dm.lazyload_path, list(dm.seasons))
+    if not files:
+        raise FileNotFoundError(
+            f"no lazy-load files match {dm.lazyload_path!r} for seasons {dm.seasons}"
+        )
+    train_files, val_files = split_train_val(files, int(dm.random_state))
+    dset_names = {
+        "val_set": [f.rsplit("/", 1)[-1] for f in val_files],
+        "train_set": [f.rsplit("/", 1)[-1] for f in train_files],
+    }
+    train_loader = BatchLoader(
+        LazyDataset(train_files),
+        batch_size=int(dm.batch_size),
+        shuffle=True,
+        seed=int(dm.random_state),
+        prefetch=int(dm.get("prefetch", 4)),
+        num_threads=int(dm.get("num_workers", 4)),
+    )
+    val_loader = BatchLoader(
+        LazyDataset(val_files),
+        batch_size=int(dm.batch_size),
+        shuffle=bool(dm.get("shuffle_val_data", False)),
+        seed=int(dm.random_state),
+        prefetch=int(dm.get("prefetch", 4)),
+        num_threads=int(dm.get("num_workers", 4)),
+    )
+    return train_loader, val_loader, dset_names
+
+
+def build_model_config(m: Config) -> VLBConfig:
+    use_lora = bool(m.get("use_lora", False))
+    lora = None
+    if use_lora:
+        lora = LoRAConfig(
+            rank=int(m.lora_r),
+            alpha=float(m.lora_alpha),
+            dropout=float(m.lora_dropout),
+        )
+    common = dict(
+        num_target=int(m.num_target),
+        l2_lambda=float(m.l2_lambda),
+        dropout_rate=float(m.dropout_rate),
+        freeze_backbone=bool(m.get("freeze_backbone", True)),
+    )
+    preset = m.get("preset", "full")
+    if preset == "tiny":
+        cfg = VLBConfig.tiny(use_lora=use_lora)
+        cfg = dataclasses.replace(
+            cfg,
+            mistral=dataclasses.replace(cfg.mistral, lora=lora) if use_lora else cfg.mistral,
+            **{k: v for k, v in common.items() if k != "num_target"},
+            num_target=cfg.geometry.num_parcels,
+        )
+        return cfg
+    if preset == "full":
+        cfg = VLBConfig(mistral=MistralConfig(lora=lora), **common)
+        cfg.validate()
+        return cfg
+    raise ValueError(f"unknown model preset {preset!r}")
+
+
+def init_model_params(model: VideoLLaMA2VLB, geometry, vocab: int, seed: int):
+    from __graft_entry__ import _example_batch
+
+    batch = _example_batch(geometry, 1, vocab)
+    return model.init(
+        jax.random.key(seed),
+        batch["language"], batch["vision"], batch["padvals"],
+        batch["vis_weights"], batch["lang_weights"],
+    )["params"]
+
+
+def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
+    """Merge converted VideoLLaMA2 weights into initialized params.
+
+    Accepts an Orbax checkpoint dir of the full param tree, or a directory of
+    HF safetensors shards to convert on the fly (models/convert.py).
+    """
+    from pathlib import Path
+
+    p = Path(checkpoint_path)
+    if (p / "_METADATA").exists() or (p / "manifest.ocdbt").exists() or (
+        p / "d"
+    ).exists():
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, params)
+        return ckpt.restore(p.resolve(), abstract)
+    if list(p.glob("*.safetensors")):
+        from phantom_vlb_tpu.models.convert import (
+            convert_clip_vision,
+            convert_mistral,
+            convert_stc_connector,
+            load_safetensors_dir,
+        )
+
+        sd = load_safetensors_dir(p)
+        merged = dict(params)
+        merged["model"] = _merge(
+            params["model"],
+            convert_mistral(sd, model_cfg.mistral.num_hidden_layers, lm_head=False)["model"],
+        )
+        if any(k.startswith("model.vision_tower") for k in sd):
+            merged["vision_tower"] = _merge(
+                params["vision_tower"],
+                convert_clip_vision(
+                    sd, model_cfg.clip.num_hidden_layers,
+                    prefix="model.vision_tower.vision_tower.vision_model.",
+                ),
+            )
+        if any(k.startswith("model.mm_projector") for k in sd):
+            merged["mm_projector"] = _merge(
+                params["mm_projector"],
+                convert_stc_connector(sd, model_cfg.stc.depth, model_cfg.stc.mlp_depth),
+            )
+        return merged
+    raise FileNotFoundError(f"no checkpoint found at {checkpoint_path}")
+
+
+def _merge(base: Any, override: Any) -> Any:
+    if isinstance(base, dict) and isinstance(override, dict):
+        return {
+            k: _merge(v, override[k]) if k in override else v
+            for k, v in base.items()
+        }
+    return jnp.asarray(override, dtype=getattr(base, "dtype", None))
+
+
+def build_trainer(config: Config):
+    """Full assembly; returns (trainer, train_loader, val_loader)."""
+    seed = int(config.random_state)
+    np.random.seed(seed)
+
+    train_loader, val_loader, dset_names = build_loaders(config.datamodule)
+
+    model_cfg = build_model_config(config.model)
+    model = VideoLLaMA2VLB(model_cfg)
+    params = init_model_params(
+        model, model_cfg.geometry, model_cfg.mistral.vocab_size, seed
+    )
+    ckpt_path = config.model.get("checkpoint_path")
+    if ckpt_path:
+        params = load_pretrained_params(model_cfg, ckpt_path, params)
+
+    mesh_cfg = config.get("mesh", Config())
+    env = build_mesh(
+        MeshConfig(
+            data=int(mesh_cfg.get("data", 1)),
+            fsdp=int(mesh_cfg.get("fsdp", -1)),
+            tensor=int(mesh_cfg.get("tensor", 1)),
+        )
+    )
+    params, _ = shard_params(params, env)
+
+    labels = trainable_labels(params, trainable_predicate)
+    optim = config.optim
+    optim_cfg = OptimConfig(
+        lr=float(optim.lr),
+        betas=tuple(optim.betas),
+        eps=float(optim.eps),
+        weight_decay=float(optim.weight_decay),
+        lr_scheduler_name=str(optim.lr_scheduler_name),
+        t_max=int(optim.t_max),
+        grad_clip=float(optim.get("grad_clip", 1.0)),
+    )
+    tr = config.trainer
+    loop_cfg = TrainLoopConfig(
+        max_epochs=int(tr.max_epochs),
+        val_check_interval=float(tr.val_check_interval),
+        log_every_n_steps=int(tr.log_every_n_steps),
+        seed=seed,
+        output_dir=str(config.output_dir),
+        run_name=str(config.get("run_name", "vlb")),
+        num_target=model_cfg.num_target,
+    )
+    trainer = VLBTrainer(
+        vlb_forward_fn(model),
+        params,
+        optim_cfg,
+        loop_cfg,
+        trainable_label_tree=labels,
+        mesh_env=env,
+    )
+    trainer.csv_logger.log_hyperparams(dset_names)
+    return trainer, train_loader, val_loader
+
+
+def run_training(config: Config) -> dict:
+    trainer, train_loader, val_loader = build_trainer(config)
+    return trainer.fit(train_loader, val_loader)
