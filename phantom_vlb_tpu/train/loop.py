@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from pathlib import Path
 from typing import Any, Callable, Iterable, Mapping
 
 import jax
@@ -156,4 +157,26 @@ class VLBTrainer:
             self.validate(val_loader)
         if self.ckpt is not None:
             self.ckpt.save_last(self.state)
+            self._export_adapters_if_any()
         return self.last_val_metrics
+
+    def _export_adapters_if_any(self) -> None:
+        """Adapter-only checkpoint (head + LoRA) — the reference's TODO at
+        train.py:60, implemented: a few MB instead of the 14 GB full state."""
+        from phantom_vlb_tpu.train.checkpoint import export_adapters
+
+        def keep(path: str) -> bool:
+            return (
+                path.startswith("head")
+                or "lora_a" in path
+                or "lora_b" in path
+            )
+
+        try:
+            export_adapters(
+                self.state.params,
+                Path(self.config.output_dir) / "adapters",
+                keep,
+            )
+        except ValueError:
+            pass  # no adapters/head selected (non-standard model)

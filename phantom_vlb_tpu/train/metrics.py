@@ -104,7 +104,12 @@ def roi_metric_names(num_target: int) -> list[str]:
 
 
 class CSVMetricsLogger:
-    """Lightning-CSVLogger-compatible metrics.csv writer."""
+    """Lightning-CSVLogger-compatible metrics.csv writer.
+
+    Appends rows; the file is only rewritten when a new column appears
+    (typically once, at the first validation epoch), so logging stays O(row)
+    even with the 1002 per-ROI columns.
+    """
 
     def __init__(self, save_dir: str | Path, name: str, version: int | None = None):
         base = Path(save_dir) / name
@@ -117,6 +122,7 @@ class CSVMetricsLogger:
         self.path = self.log_dir / "metrics.csv"
         self._rows: list[dict[str, Any]] = []
         self._columns: list[str] = []
+        self._rows_flushed = 0
 
     def log_metrics(self, metrics: Mapping[str, Any], step: int, epoch: int) -> None:
         row = {"epoch": epoch, "step": step}
@@ -124,18 +130,24 @@ class CSVMetricsLogger:
             if isinstance(v, (jnp.ndarray, np.ndarray)):
                 v = np.asarray(v).item()
             row[k] = v
-        for k in row:
-            if k not in self._columns:
-                self._columns.append(k)
+        new_cols = [k for k in row if k not in self._columns]
+        self._columns.extend(new_cols)
         self._rows.append(row)
-        self._flush()
+        self._flush(rewrite=bool(new_cols) and self._rows_flushed > 0)
 
-    def _flush(self) -> None:
-        with open(self.path, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._columns)
-            writer.writeheader()
-            for row in self._rows:
-                writer.writerow(row)
+    def _flush(self, rewrite: bool) -> None:
+        if rewrite or not self.path.exists():
+            with open(self.path, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._columns)
+                writer.writeheader()
+                writer.writerows(self._rows)
+        else:
+            with open(self.path, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._columns)
+                if self._rows_flushed == 0:
+                    writer.writeheader()
+                writer.writerows(self._rows[self._rows_flushed :])
+        self._rows_flushed = len(self._rows)
 
     def log_hyperparams(self, params: Mapping[str, Any]) -> None:
         import yaml
