@@ -29,6 +29,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: amortizes the big-model compile across bench
+# invocations (first 32-layer compile takes minutes over the remote tunnel).
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 
 def build(layers: int, batch_size: int):
     from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig
@@ -60,6 +73,7 @@ def build(layers: int, batch_size: int):
     model = VideoLLaMA2VLB(config)
     batch = _example_batch(config.geometry, batch_size, config.mistral.vocab_size)
 
+    _log(f"building model: layers={layers} batch={batch_size}")
     init = jax.jit(
         lambda key: model.init(
             key, batch["language"], batch["vision"], batch["padvals"],
@@ -68,6 +82,7 @@ def build(layers: int, batch_size: int):
     )
     params = init(jax.random.key(0))
     jax.block_until_ready(params)
+    _log("params initialized")
 
     labels = trainable_labels(params, trainable_predicate)
     tx = make_optimizer(OptimConfig(), labels)
@@ -111,8 +126,10 @@ def main():
             config, state, step, batch = build(layers, batch_size)
             rng = jax.random.key(1)
             # Warmup / compile.
+            _log("compiling train step...")
             state, metrics = step(state, batch, rng)
             _ = float(metrics["brain_loss"])
+            _log("train step compiled; timing...")
             t0 = time.perf_counter()
             for i in range(steps):
                 state, metrics = step(state, batch, jax.random.fold_in(rng, i))
