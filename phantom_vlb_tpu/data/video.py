@@ -150,12 +150,25 @@ def clip_preprocess(images: Sequence[np.ndarray], image_size: int) -> np.ndarray
     return out
 
 
+def host_preprocess(frames: Sequence[np.ndarray], image_size: int) -> np.ndarray:
+    """Default host path: expand2square + CLIP preprocess (byte-parity)."""
+    fill = tuple(int(x * 255) for x in CLIP_MEAN)
+    images = [expand2square(f, fill) for f in frames]
+    return clip_preprocess(images, image_size)
+
+
 def extract_video_chunk(
     source: VideoSource,
     end_time: float,
     geometry: VLBGeometry,
+    preprocessor=None,
 ) -> np.ndarray:
-    """One TR's (num_frames, 3, H, W) tensor (extractfeatures.py:320-349)."""
+    """One TR's (num_frames, 3, H, W) tensor (extractfeatures.py:320-349).
+
+    ``preprocessor(frames) -> (T, 3, S, S)`` is pluggable: the default is the
+    host parity path; pass ``ops.preprocess.DevicePreprocessor`` to run the
+    fused pad/resize/normalize on the TPU.
+    """
     g = geometry
     indices = tr_window_indices(
         end_time, g.window, source.fps, source.num_frames, g.tr, g.frames_per_tr
@@ -165,6 +178,6 @@ def extract_video_chunk(
     fill_shape = frames[-1].shape
     while len(frames) < g.num_frames:
         frames.append(np.zeros(fill_shape, np.uint8))
-    fill = tuple(int(x * 255) for x in CLIP_MEAN)
-    images = [expand2square(f, fill) for f in frames]
-    return clip_preprocess(images, g.image_size)
+    if preprocessor is None:
+        return host_preprocess(frames, g.image_size)
+    return np.asarray(preprocessor(frames))

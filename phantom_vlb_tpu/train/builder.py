@@ -228,4 +228,7 @@ def build_trainer(config: Config):
 
 def run_training(config: Config) -> dict:
     trainer, train_loader, val_loader = build_trainer(config)
+    if bool(config.get("trainer", {}).get("resume", False)):
+        if trainer.maybe_resume():
+            print(f"resumed from step {trainer.global_step}")
     return trainer.fit(train_loader, val_loader)

@@ -107,6 +107,20 @@ class VLBTrainer:
             logger.log_metrics(metrics, self.global_step, self.epoch)
 
     # ------------------------------------------------------------------
+    def maybe_resume(self, name: str = "last") -> bool:
+        """Resume from a saved state if present (reference has no train-time
+        resume at all, SURVEY.md §5.3; here a killed run restarts where it
+        left off, the analog of extraction's episode-level resume)."""
+        if self.ckpt is None:
+            return False
+        path = self.ckpt.directory / name
+        if not path.exists():
+            return False
+        self.state = self.ckpt.restore(name, self.state)
+        self.global_step = int(self.state.step)
+        return True
+
+    # ------------------------------------------------------------------
     def validate(self, val_loader) -> dict[str, float]:
         pearson = pearson_init(self.config.num_target)
         total_loss, total_n = 0.0, 0.0
@@ -135,7 +149,13 @@ class VLBTrainer:
 
     def fit(self, train_loader, val_loader) -> dict[str, float]:
         cfg = self.config
-        for self.epoch in range(cfg.max_epochs):
+        # After maybe_resume(), completed epochs are skipped.
+        start_epoch = 0
+        if self.global_step and len(train_loader):
+            start_epoch = min(
+                self.global_step // max(1, len(train_loader)), cfg.max_epochs
+            )
+        for self.epoch in range(start_epoch, cfg.max_epochs):
             n_batches = len(train_loader)
             val_every = (
                 max(1, int(n_batches * cfg.val_check_interval))
