@@ -66,6 +66,7 @@ def build(layers: int, batch_size: int):
             num_hidden_layers=layers,
             param_dtype=jnp.bfloat16,
             lora=LoRAConfig(),
+            scan_layers=True,
         ),
         freeze_backbone=False,
     )

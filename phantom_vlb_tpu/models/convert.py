@@ -51,11 +51,37 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def stack_layer_params(model_params: dict, num_layers: int) -> dict:
+    """Fold ``layers_0..N-1`` subtrees into a stacked ``layers_scan`` subtree.
+
+    For ``MistralConfig(scan_layers=True)``: every leaf gains a leading
+    (num_layers,) axis.
+    """
+
+    def stack(trees: list) -> dict:
+        out = {}
+        for k in trees[0]:
+            vals = [t[k] for t in trees]
+            if isinstance(vals[0], dict):
+                out[k] = stack(vals)
+            else:
+                out[k] = np.stack([np.asarray(v) for v in vals])
+        return out
+
+    layers = [model_params[f"layers_{i}"] for i in range(num_layers)]
+    rest = {
+        k: v for k, v in model_params.items() if not k.startswith("layers_")
+    }
+    rest["layers_scan"] = stack(layers)
+    return rest
+
+
 def convert_mistral(
     sd: Mapping[str, np.ndarray],
     num_layers: int,
     prefix: str = "model.",
     lm_head: bool = True,
+    scan: bool = False,
 ) -> dict:
     """HF ``MistralForCausalLM`` weights -> our ``MistralForCausalLM`` params."""
     model: dict = {
@@ -78,6 +104,8 @@ def convert_mistral(
                 "weight": sd[f"{p}post_attention_layernorm.weight"]
             },
         }
+    if scan:
+        model = stack_layer_params(model, num_layers)
     if not lm_head:
         return {"model": model}
     return {

@@ -51,6 +51,10 @@ class MistralConfig:
     param_dtype: Any = jnp.float32
     attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
     remat: bool = True
+    # lax.scan over the 32 decoder layers: one compiled layer body (fast
+    # compile, stacked (L, ...) params). The unrolled stack remains for
+    # hidden-states introspection / HF-parity tests.
+    scan_layers: bool = False
     # LoRA on every projection (the reference's find_all_linear_names targets,
     # litmodule.py:36-55); None disables.
     lora: LoRAConfig | None = None
@@ -166,25 +170,41 @@ class MistralMLP(nn.Module):
         return proj(cfg.hidden_size, "down_proj", nn.silu(gate) * up)
 
 
+def _decoder_forward(cfg: MistralConfig, x, positions, kv_mask, deterministic):
+    """Shared decoder-layer body (instantiated inside a compact context)."""
+    h = x + MistralAttention(cfg, name="self_attn")(
+        RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                name="input_layernorm")(x),
+        positions,
+        kv_mask,
+        deterministic,
+    )
+    out = h + MistralMLP(cfg, name="mlp")(
+        RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                name="post_attention_layernorm")(h),
+        deterministic,
+    )
+    return out
+
+
 class MistralDecoderLayer(nn.Module):
     config: MistralConfig
 
     @nn.compact
     def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
-        cfg = self.config
-        h = x + MistralAttention(cfg, name="self_attn")(
-            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
-                    name="input_layernorm")(x),
-            positions,
-            kv_mask,
-            deterministic,
-        )
-        out = h + MistralMLP(cfg, name="mlp")(
-            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
-                    name="post_attention_layernorm")(h),
-            deterministic,
-        )
-        return out
+        return _decoder_forward(self.config, x, positions, kv_mask, deterministic)
+
+
+class MistralScanBlock(nn.Module):
+    """Scan body: same params subtree as a layer; returns (carry, ys)."""
+
+    config: MistralConfig
+    collect_inputs: bool = False
+
+    @nn.compact
+    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
+        out = _decoder_forward(self.config, x, positions, kv_mask, deterministic)
+        return out, (x if self.collect_inputs else None)
 
 
 class MistralModel(nn.Module):
@@ -198,16 +218,36 @@ class MistralModel(nn.Module):
             cfg.vocab_size, cfg.hidden_size, name="embed_tokens",
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
         )
-        block = MistralDecoderLayer
-        if cfg.remat:
-            block = nn.remat(
-                MistralDecoderLayer,
-                policy=jax.checkpoint_policies.nothing_saveable,
-                static_argnums=(4,),
-            )
-        self.layers = [
-            block(cfg, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
-        ]
+        if cfg.scan_layers:
+            # One compiled layer body iterated with lax.scan: 32x less HLO
+            # than unrolling, the TPU-idiomatic big-model layout. Per-layer
+            # params gain a leading (num_layers,) axis under 'layers_scan'.
+            body = MistralScanBlock
+            if cfg.remat:
+                body = nn.remat(
+                    MistralScanBlock,
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                    static_argnums=(4,),
+                )
+            self.layers_scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.num_hidden_layers,
+            )(cfg, name="layers_scan")
+        else:
+            block = MistralDecoderLayer
+            if cfg.remat:
+                block = nn.remat(
+                    MistralDecoderLayer,
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                    static_argnums=(4,),
+                )
+            self.layers = [
+                block(cfg, name=f"layers_{i}")
+                for i in range(cfg.num_hidden_layers)
+            ]
         self.final_norm = RMSNorm(
             cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="norm"
         )
@@ -229,6 +269,18 @@ class MistralModel(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
         x = inputs_embeds.astype(cfg.dtype)
+
+        if cfg.scan_layers:
+            if output_hidden_states:
+                raise NotImplementedError(
+                    "output_hidden_states needs the unrolled stack "
+                    "(scan_layers=False); the scanned path returns the "
+                    "post-norm output directly, which equals "
+                    "hidden_states[-1] (litmodule.py:245)."
+                )
+            x, _ = self.layers_scan(x, positions, kv_mask, deterministic)
+            return self.final_norm(x)
+
         # HF semantics (the reference pools ``hidden_states[-1]``,
         # litmodule.py:245): the tuple holds the INPUT of every decoder layer
         # (embeddings first) plus, last, the post-final-norm output — 33

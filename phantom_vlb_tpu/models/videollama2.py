@@ -70,6 +70,7 @@ class VLBConfig:
         """The production VideoLLaMA2-7B geometry."""
         mistral = MistralConfig(
             lora=LoRAConfig() if use_lora else None,
+            scan_layers=True,
         )
         cfg = VLBConfig(mistral=mistral, freeze_backbone=not use_lora, **overrides)
         cfg.validate()
@@ -172,10 +173,12 @@ class VideoLLaMA2VLB(nn.Module):
             text_embeds = jax.lax.stop_gradient(text_embeds)
         video_tokens = self.encode_video(video)
         embeds, valid = splice_multimodal(text_embeds, ids, video_tokens)
-        hidden, _ = self.llm(
+        # The reference pools hidden_states[-1] == the post-final-norm output
+        # (litmodule.py:240,245), which is exactly what the default forward
+        # returns — no hidden-states collection needed.
+        hidden = self.llm(
             embeds,
             kv_mask=valid,
-            output_hidden_states=True,
             deterministic=deterministic,
         )
         if cfg.freeze_backbone and not cfg.train_backbone:

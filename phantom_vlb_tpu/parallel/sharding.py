@@ -54,7 +54,14 @@ def _path_str(path) -> str:
 
 
 def _fit_spec(spec: P, shape: tuple[int, ...], mesh_shape: dict) -> P:
-    """Drop mesh axes that don't divide the corresponding dim."""
+    """Drop mesh axes that don't divide the corresponding dim.
+
+    A spec shorter than the array rank is right-aligned (leading axes
+    replicated) — scanned layer stacks carry a leading (num_layers,) axis
+    over the same 2D kernel rules.
+    """
+    if len(spec) < len(shape):
+        spec = P(*([None] * (len(shape) - len(spec)) + list(spec)))
     out = []
     for i, entry in enumerate(spec):
         if entry is None or i >= len(shape):
