@@ -60,7 +60,7 @@ def build(layers: int, batch_size: int):
 
     # Full production geometry; bf16 master params to fit one 16 GB chip.
     config = VLBConfig(
-        clip=CLIPVisionConfig(param_dtype=jnp.bfloat16),
+        clip=CLIPVisionConfig(param_dtype=jnp.bfloat16, scan_layers=True),
         stc=STCConfig(param_dtype=jnp.bfloat16),
         mistral=MistralConfig(
             num_hidden_layers=layers,
@@ -116,48 +116,87 @@ def train_flops_per_clip(config) -> float:
     return llm + clip
 
 
+def param_bytes_estimate(layers: int) -> int:
+    """Rough bf16 parameter footprint of the bench model."""
+    h, inter, vocab = 4096, 14336, 32000
+    mistral = vocab * h + layers * (
+        h * 128 * (32 * 2 + 8 * 2) + 3 * h * inter + 2 * h
+    )
+    clip = 24 * (4 * 1024 * 1024 + 2 * 1024 * 4096) + 577 * 1024
+    stc = 500e6  # RegNet stages + Conv3d sampler + readout
+    return int((mistral + clip + stc) * 2)
+
+
+def _fits_device(layers: int) -> bool:
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    limit = (stats or {}).get("bytes_limit")
+    if not limit:
+        return True
+    needed = param_bytes_estimate(layers) + int(2.5e9)  # activations/workspace
+    return needed < limit
+
+
+def _attempt(layers: int, batch_size: int, steps: int) -> dict:
+    """One bench attempt; raising frees this frame's device arrays."""
+    config, state, step, batch = build(layers, batch_size)
+    rng = jax.random.key(1)
+    _log("compiling train step...")
+    state, metrics = step(state, batch, rng)
+    _ = float(metrics["brain_loss"])
+    _log("train step compiled; timing...")
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    _ = float(metrics["brain_loss"])  # host fetch = sync
+    dt = (time.perf_counter() - t0) / steps
+    clips_per_sec = batch_size / dt
+
+    # Reference-estimate denominator (see module docstring).
+    ref_flops = train_flops_per_clip(config)
+    ref_clips_per_sec = 989e12 * 0.45 / ref_flops
+    _log(
+        f"layers={layers} batch={batch_size} step={dt * 1e3:.1f} ms "
+        f"flops/clip={ref_flops / 1e12:.1f}T "
+        f"ref_H100_est={ref_clips_per_sec:.2f} clips/s"
+    )
+    suffix = "" if layers == 32 else f"@{layers}L"
+    return {
+        "metric": f"lora_train_clips_per_sec_per_chip{suffix}",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / ref_clips_per_sec, 4),
+    }
+
+
 def main():
+    import gc
+
     layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
     batch_size = int(os.environ.get("VLB_BENCH_BATCH", "3"))  # lora.yaml:16
     steps = int(os.environ.get("VLB_BENCH_STEPS", "10"))
 
     last_err = None
     for layers in [n for n in (layers_env, 16, 8) if n <= layers_env] or [layers_env]:
-        try:
-            config, state, step, batch = build(layers, batch_size)
-            rng = jax.random.key(1)
-            # Warmup / compile.
-            _log("compiling train step...")
-            state, metrics = step(state, batch, rng)
-            _ = float(metrics["brain_loss"])
-            _log("train step compiled; timing...")
-            t0 = time.perf_counter()
-            for i in range(steps):
-                state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-            _ = float(metrics["brain_loss"])  # host fetch = sync
-            dt = (time.perf_counter() - t0) / steps
-            clips_per_sec = batch_size / dt
-
-            # Reference-estimate denominator (see module docstring).
-            ref_flops = train_flops_per_clip(config)
-            ref_clips_per_sec = 989e12 * 0.45 / ref_flops
+        if not _fits_device(layers):
             print(
-                f"[bench] layers={layers} batch={batch_size} step={dt * 1e3:.1f} ms "
-                f"flops/clip={ref_flops / 1e12:.1f}T "
-                f"ref_H100_est={ref_clips_per_sec:.2f} clips/s",
+                f"[bench] layers={layers}: est. params "
+                f"{param_bytes_estimate(layers) / 1e9:.1f} GB exceed single-chip "
+                "HBM; skipping (full-scale runs use the FSDP multi-chip path)",
                 file=sys.stderr,
             )
-            suffix = "" if layers == 32 else f"@{layers}L"
-            print(json.dumps({
-                "metric": f"lora_train_clips_per_sec_per_chip{suffix}",
-                "value": round(clips_per_sec, 4),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / ref_clips_per_sec, 4),
-            }))
+            continue
+        try:
+            result = _attempt(layers, batch_size, steps)
+            print(json.dumps(result))
             return
         except Exception as e:  # OOM or compile failure: try smaller
-            last_err = e
-            print(f"[bench] layers={layers} failed: {e}", file=sys.stderr)
+            last_err = f"{type(e).__name__}: {e}"
+            print(f"[bench] layers={layers} failed: {last_err}", file=sys.stderr)
+        # Drop the failed attempt's device arrays (the exception kept the
+        # _attempt frame alive until here) before allocating the next size.
+        sys.last_traceback = None
+        gc.collect()
+        jax.clear_caches()
     raise SystemExit(f"bench failed at all scales: {last_err}")
 
 

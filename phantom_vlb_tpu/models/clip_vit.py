@@ -49,6 +49,17 @@ class CLIPVisionConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"    # seq 577 — XLA attention is fine here
+    # lax.scan over encoder layers (fast compile; stacked params). The
+    # layers after select_layer are never computed in either mode (the
+    # LLaVA/VideoLLaMA2 feature path discards them).
+    scan_layers: bool = False
+
+    @property
+    def effective_layers(self) -> int:
+        """Number of layers actually run (up to the selected layer)."""
+        if self.select_layer < 0:
+            return self.num_hidden_layers + self.select_layer + 1
+        return self.select_layer
 
     @property
     def grid(self) -> int:
@@ -109,19 +120,30 @@ class CLIPMLP(nn.Module):
                         dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
 
 
+def _clip_layer_forward(cfg: CLIPVisionConfig, x):
+    ln = lambda name: nn.LayerNorm(  # noqa: E731
+        epsilon=cfg.layer_norm_eps, name=name,
+        dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+    )
+    x = x + CLIPAttention(cfg, name="self_attn")(ln("layer_norm1")(x))
+    x = x + CLIPMLP(cfg, name="mlp")(ln("layer_norm2")(x))
+    return x
+
+
 class CLIPEncoderLayer(nn.Module):
     config: CLIPVisionConfig
 
     @nn.compact
     def __call__(self, x):
-        cfg = self.config
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=cfg.layer_norm_eps, name=name,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        )
-        x = x + CLIPAttention(cfg, name="self_attn")(ln("layer_norm1")(x))
-        x = x + CLIPMLP(cfg, name="mlp")(ln("layer_norm2")(x))
-        return x
+        return _clip_layer_forward(self.config, x)
+
+
+class CLIPScanBlock(nn.Module):
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        return _clip_layer_forward(self.config, x), None
 
 
 class CLIPVisionTower(nn.Module):
@@ -170,14 +192,20 @@ class CLIPVisionTower(nn.Module):
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
         )(x)
 
-        n_layers = cfg.num_hidden_layers
-        stop = n_layers + cfg.select_layer + 1 if cfg.select_layer < 0 else cfg.select_layer
-        selected = None
-        for i in range(n_layers):
-            x = CLIPEncoderLayer(cfg, name=f"layers_{i}")(x)
-            if i + 1 == stop:
-                selected = x
-        assert selected is not None, "select_layer out of range"
+        stop = cfg.effective_layers
+        assert 0 < stop <= cfg.num_hidden_layers, "select_layer out of range"
+        if cfg.scan_layers:
+            selected, _ = nn.scan(
+                CLIPScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=stop,
+            )(cfg, name="layers_scan")(x)
+        else:
+            selected = None
+            for i in range(stop):
+                x = CLIPEncoderLayer(cfg, name=f"layers_{i}")(x)
+            selected = x
         # (post_layernorm exists in CLIP but is NOT applied to the selected
         # hidden state in the LLaVA/VideoLLaMA2 feature path.)
         if cfg.select_feature == "patch":

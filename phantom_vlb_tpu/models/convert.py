@@ -118,6 +118,7 @@ def convert_clip_vision(
     sd: Mapping[str, np.ndarray],
     num_layers: int,
     prefix: str = "vision_model.",
+    scan: bool = False,
 ) -> dict:
     """HF ``CLIPVisionModel`` weights -> our ``CLIPVisionTower`` params."""
     def ln(key):
@@ -158,6 +159,8 @@ def convert_clip_vision(
                 },
             },
         }
+    if scan:
+        params = stack_layer_params(params, num_layers)
     return params
 
 

@@ -72,7 +72,9 @@ class VLBConfig:
             lora=LoRAConfig() if use_lora else None,
             scan_layers=True,
         )
-        cfg = VLBConfig(mistral=mistral, freeze_backbone=not use_lora, **overrides)
+        clip = CLIPVisionConfig(scan_layers=True)
+        cfg = VLBConfig(clip=clip, mistral=mistral,
+                        freeze_backbone=not use_lora, **overrides)
         cfg.validate()
         return cfg
 

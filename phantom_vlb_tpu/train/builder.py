@@ -93,7 +93,12 @@ def build_model_config(m: Config) -> VLBConfig:
         )
         return cfg
     if preset == "full":
-        cfg = VLBConfig(mistral=MistralConfig(lora=lora), **common)
+        cfg = VLBConfig.full(use_lora=use_lora)
+        cfg = dataclasses.replace(
+            cfg,
+            mistral=dataclasses.replace(cfg.mistral, lora=lora),
+            **common,
+        )
         cfg.validate()
         return cfg
     raise ValueError(f"unknown model preset {preset!r}")
@@ -139,14 +144,23 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
         merged = dict(params)
         merged["model"] = _merge(
             params["model"],
-            convert_mistral(sd, model_cfg.mistral.num_hidden_layers, lm_head=False)["model"],
+            convert_mistral(
+                sd,
+                model_cfg.mistral.num_hidden_layers,
+                lm_head=False,
+                scan=model_cfg.mistral.scan_layers,
+            )["model"],
         )
         if any(k.startswith("model.vision_tower") for k in sd):
             merged["vision_tower"] = _merge(
                 params["vision_tower"],
                 convert_clip_vision(
-                    sd, model_cfg.clip.num_hidden_layers,
+                    sd,
+                    model_cfg.clip.effective_layers
+                    if model_cfg.clip.scan_layers
+                    else model_cfg.clip.num_hidden_layers,
                     prefix="model.vision_tower.vision_tower.vision_model.",
+                    scan=model_cfg.clip.scan_layers,
                 ),
             )
         if any(k.startswith("model.mm_projector") for k in sd):
