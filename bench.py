@@ -86,9 +86,9 @@ def build(layers: int, batch_size: int):
     _log("params initialized")
 
     labels = trainable_labels(params, trainable_predicate)
-    tx = make_optimizer(OptimConfig(), labels)
-    state = jax.jit(lambda p: init_train_state(p, tx))(params)
-    step = make_train_step(vlb_forward_fn(model), tx, donate=True)
+    tx = make_optimizer(OptimConfig())
+    state = jax.jit(lambda p: init_train_state(p, tx, labels))(params)
+    step = make_train_step(vlb_forward_fn(model), tx, labels, donate=True)
     return config, state, step, batch
 
 
@@ -129,9 +129,9 @@ def param_bytes_estimate(layers: int) -> int:
 
 def _fits_device(layers: int) -> bool:
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
-    limit = (stats or {}).get("bytes_limit")
-    if not limit:
-        return True
+    limit = (stats or {}).get("bytes_limit") or float(
+        os.environ.get("VLB_BENCH_HBM_BYTES", 16e9)  # v5e default
+    )
     needed = param_bytes_estimate(layers) + int(2.5e9)  # activations/workspace
     return needed < limit
 
@@ -169,13 +169,20 @@ def _attempt(layers: int, batch_size: int, steps: int) -> dict:
 
 
 def main():
-    import gc
-
-    layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
     batch_size = int(os.environ.get("VLB_BENCH_BATCH", "3"))  # lora.yaml:16
     steps = int(os.environ.get("VLB_BENCH_STEPS", "10"))
 
-    last_err = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        # Child mode: one attempt, one process (a hard OOM poisons the TPU
+        # client, so each scale gets a fresh process).
+        result = _attempt(int(sys.argv[2]), batch_size, steps)
+        print(json.dumps(result))
+        return
+
+    import subprocess
+
+    layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
+    last_err = "no scale attempted"
     for layers in [n for n in (layers_env, 16, 8) if n <= layers_env] or [layers_env]:
         if not _fits_device(layers):
             print(
@@ -185,18 +192,17 @@ def main():
                 file=sys.stderr,
             )
             continue
-        try:
-            result = _attempt(layers, batch_size, steps)
-            print(json.dumps(result))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(layers)],
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            print(proc.stdout.strip().splitlines()[-1])
             return
-        except Exception as e:  # OOM or compile failure: try smaller
-            last_err = f"{type(e).__name__}: {e}"
-            print(f"[bench] layers={layers} failed: {last_err}", file=sys.stderr)
-        # Drop the failed attempt's device arrays (the exception kept the
-        # _attempt frame alive until here) before allocating the next size.
-        sys.last_traceback = None
-        gc.collect()
-        jax.clear_caches()
+        last_err = f"layers={layers} rc={proc.returncode}"
+        print(f"[bench] {last_err}", file=sys.stderr)
     raise SystemExit(f"bench failed at all scales: {last_err}")
 
 

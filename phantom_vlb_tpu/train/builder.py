@@ -236,6 +236,11 @@ def build_trainer(config: Config):
         trainable_label_tree=labels,
         mesh_env=env,
     )
+    # H-params logged twice, like the reference (train.py:35 full config,
+    # train.py:50 train/val file lists).
+    from phantom_vlb_tpu.core.config import to_dict
+
+    trainer.csv_logger.log_hyperparams(to_dict(config))
     trainer.csv_logger.log_hyperparams(dset_names)
     return trainer, train_loader, val_loader
 

@@ -67,12 +67,10 @@ class VLBTrainer:
     ):
         self.config = loop_config
         self.mesh_env = mesh_env
-        self.tx = make_optimizer(optim_config, trainable_label_tree)
-        self.state = init_train_state(params, self.tx)
-        if mesh_env is not None:
-            # Keep params/opt state replicated unless the caller sharded them.
-            pass
-        self.train_step = make_train_step(forward_fn, self.tx)
+        self.tx = make_optimizer(optim_config)
+        self.labels = trainable_label_tree
+        self.state = init_train_state(params, self.tx, self.labels)
+        self.train_step = make_train_step(forward_fn, self.tx, self.labels)
         self.eval_step = make_eval_step(forward_fn)
         self.csv_logger = csv_logger or CSVMetricsLogger(
             loop_config.output_dir, loop_config.run_name

@@ -54,12 +54,12 @@ def trainable_labels(params, predicate: Callable[[tuple, object], bool]):
     )
 
 
-def make_optimizer(
-    config: OptimConfig,
-    trainable_label_tree=None,
-) -> optax.GradientTransformation:
+def make_optimizer(config: OptimConfig) -> optax.GradientTransformation:
+    """AdamW + cosine + clip. Freezing is handled upstream: the train step
+    differentiates and optimizes only the trainable subtree
+    (train/step.py::partition_params), so no optax masking is needed."""
     schedule = make_schedule(config)
-    tx = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(config.grad_clip),
         optax.adamw(
             learning_rate=schedule,
@@ -69,9 +69,3 @@ def make_optimizer(
             weight_decay=config.weight_decay,
         ),
     )
-    if trainable_label_tree is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            trainable_label_tree,
-        )
-    return tx

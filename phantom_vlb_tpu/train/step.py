@@ -5,6 +5,13 @@ backward, clip, AdamW update, schedule step — and for eval, the streaming
 Pearson merge), mirroring the reference hot loop (litmodule.py:259-342 +
 Lightning internals) as a single XLA program.
 
+Frozen parameters are **AD constants**: the param tree is partitioned by the
+trainable-label tree and only the trainable subtree is differentiated (the
+reference gets this from ``requires_grad=False``/peft).  This matters beyond
+speed — under ``lax.scan`` over layers, a cotangent for the stacked frozen
+params would materialize a full fp32 zero tree (~14 GB at 7B), which
+``stop_gradient`` alone does not prevent.
+
 The loss is the reference's ``F.mse_loss(pred, y) + l2_reg``
 (litmodule.py:302) made row-mask aware: padded rows of the fixed-shape batch
 contribute nothing, so a partial final batch produces exactly the mean the
@@ -22,10 +29,38 @@ import optax
 
 from phantom_vlb_tpu.train.metrics import PearsonState, pearson_update
 
-__all__ = ["TrainState", "ForwardFn", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState",
+    "ForwardFn",
+    "init_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "partition_params",
+    "combine_params",
+]
 
 # forward(params, batch, rng, train) -> (pred (B, P) f32, l2_reg scalar)
 ForwardFn = Callable[[Any, Mapping[str, jnp.ndarray], jax.Array, bool], tuple]
+
+_IS_NONE = lambda x: x is None  # noqa: E731
+
+
+def partition_params(params, labels):
+    """Split into (trainable, frozen) trees; non-selected leaves become None
+    (None is an empty pytree node, so AD and optax simply never see them)."""
+    trainable = jax.tree.map(
+        lambda lbl, p: p if lbl == "train" else None, labels, params
+    )
+    frozen = jax.tree.map(
+        lambda lbl, p: None if lbl == "train" else p, labels, params
+    )
+    return trainable, frozen
+
+
+def combine_params(trainable, frozen):
+    return jax.tree.map(
+        lambda t, f: f if t is None else t, trainable, frozen, is_leaf=_IS_NONE
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -36,11 +71,15 @@ class TrainState:
     opt_state: Any
 
 
-def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def init_train_state(params, tx: optax.GradientTransformation, labels=None) -> TrainState:
+    if labels is None:
+        opt_target = params
+    else:
+        opt_target, _ = partition_params(params, labels)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(opt_target),
     )
 
 
@@ -55,20 +94,31 @@ def _masked_mse(pred: jnp.ndarray, y: jnp.ndarray, row_mask: jnp.ndarray) -> jnp
 def make_train_step(
     forward_fn: ForwardFn,
     tx: optax.GradientTransformation,
+    labels=None,
     donate: bool = True,
 ):
-    def loss_fn(params, batch, rng):
+    def loss_fn(trainable, frozen, batch, rng):
+        params = combine_params(trainable, frozen) if labels is not None else trainable
         pred, l2_reg = forward_fn(params, batch, rng, True)
         mse = _masked_mse(pred, batch["timeseries"], batch["row_mask"])
         loss = mse + l2_reg
         return loss, {"brain_loss": loss, "mse": mse, "l2_reg": l2_reg}
 
     def train_step(state: TrainState, batch, rng):
+        if labels is not None:
+            trainable, frozen = partition_params(state.params, labels)
+        else:
+            trainable, frozen = state.params, None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            trainable, frozen, batch, rng
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = (
+            combine_params(new_trainable, frozen)
+            if labels is not None
+            else new_trainable
+        )
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )

@@ -168,9 +168,9 @@ def test_train_steps_run(tiny_batches):
     model, params = _init(cfg, tiny_batches[0])
     fwd = vlb_forward_fn(model)
     labels = trainable_labels(params, trainable_predicate)
-    tx = make_optimizer(OptimConfig(lr=1e-3, t_max=100), labels)
-    state = init_train_state(params, tx)
-    step = make_train_step(fwd, tx, donate=False)
+    tx = make_optimizer(OptimConfig(lr=1e-3, t_max=100))
+    state = init_train_state(params, tx, labels)
+    step = make_train_step(fwd, tx, labels, donate=False)
     eval_step = make_eval_step(fwd)
 
     losses = []
