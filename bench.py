@@ -43,7 +43,7 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def build(layers: int, batch_size: int):
+def build(layers: int, batch_size: int, quant: str | None = None):
     from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig
     from phantom_vlb_tpu.models.lora import LoRAConfig
     from phantom_vlb_tpu.models.mistral import MistralConfig
@@ -67,6 +67,7 @@ def build(layers: int, batch_size: int):
             param_dtype=jnp.bfloat16,
             lora=LoRAConfig(),
             scan_layers=True,
+            base_quant=quant,
         ),
         freeze_backbone=False,
     )
@@ -74,7 +75,7 @@ def build(layers: int, batch_size: int):
     model = VideoLLaMA2VLB(config)
     batch = _example_batch(config.geometry, batch_size, config.mistral.vocab_size)
 
-    _log(f"building model: layers={layers} batch={batch_size}")
+    _log(f"building model: layers={layers} batch={batch_size} quant={quant}")
     init = jax.jit(
         lambda key: model.init(
             key, batch["language"], batch["vision"], batch["padvals"],
@@ -116,29 +117,29 @@ def train_flops_per_clip(config) -> float:
     return llm + clip
 
 
-def param_bytes_estimate(layers: int) -> int:
-    """Rough bf16 parameter footprint of the bench model."""
+def param_bytes_estimate(layers: int, quant: str | None = None) -> int:
+    """Rough parameter footprint of the bench model."""
     h, inter, vocab = 4096, 14336, 32000
-    mistral = vocab * h + layers * (
-        h * 128 * (32 * 2 + 8 * 2) + 3 * h * inter + 2 * h
-    )
+    proj = layers * (h * 128 * (32 * 2 + 8 * 2) + 3 * h * inter)
+    other = vocab * h + layers * 2 * h
     clip = 24 * (4 * 1024 * 1024 + 2 * 1024 * 4096) + 577 * 1024
     stc = 500e6  # RegNet stages + Conv3d sampler + readout
-    return int((mistral + clip + stc) * 2)
+    proj_bytes = proj * (1 if quant == "int8" else 2)
+    return int(proj_bytes + (other + clip + stc) * 2)
 
 
-def _fits_device(layers: int) -> bool:
+def _fits_device(layers: int, quant: str | None = None) -> bool:
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
     limit = (stats or {}).get("bytes_limit") or float(
         os.environ.get("VLB_BENCH_HBM_BYTES", 16e9)  # v5e default
     )
-    needed = param_bytes_estimate(layers) + int(2.5e9)  # activations/workspace
+    needed = param_bytes_estimate(layers, quant) + int(2.5e9)
     return needed < limit
 
 
-def _attempt(layers: int, batch_size: int, steps: int) -> dict:
+def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dict:
     """One bench attempt; raising frees this frame's device arrays."""
-    config, state, step, batch = build(layers, batch_size)
+    config, state, step, batch = build(layers, batch_size, quant)
     rng = jax.random.key(1)
     _log("compiling train step...")
     state, metrics = step(state, batch, rng)
@@ -160,6 +161,8 @@ def _attempt(layers: int, batch_size: int, steps: int) -> dict:
         f"ref_H100_est={ref_clips_per_sec:.2f} clips/s"
     )
     suffix = "" if layers == 32 else f"@{layers}L"
+    if quant:
+        suffix = f"_{quant}{suffix}"
     return {
         "metric": f"lora_train_clips_per_sec_per_chip{suffix}",
         "value": round(clips_per_sec, 4),
@@ -175,25 +178,36 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         # Child mode: one attempt, one process (a hard OOM poisons the TPU
         # client, so each scale gets a fresh process).
-        result = _attempt(int(sys.argv[2]), batch_size, steps)
+        quant = sys.argv[3] if len(sys.argv) > 3 and sys.argv[3] != "none" else None
+        result = _attempt(int(sys.argv[2]), batch_size, steps, quant)
         print(json.dumps(result))
         return
 
     import subprocess
 
     layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
+    # Candidate ladder: full 32L with int8 frozen base (the flagship: the only
+    # single-chip-feasible full-7B config), then bf16 at reduced depth.
+    candidates = [(32, "int8"), (layers_env, None), (16, None), (8, None)]
+    candidates = [
+        (l, q) for l, q in candidates if l <= max(layers_env, 32)
+    ]
     last_err = "no scale attempted"
-    for layers in [n for n in (layers_env, 16, 8) if n <= layers_env] or [layers_env]:
-        if not _fits_device(layers):
+    for layers, quant in candidates:
+        if not _fits_device(layers, quant):
             print(
-                f"[bench] layers={layers}: est. params "
-                f"{param_bytes_estimate(layers) / 1e9:.1f} GB exceed single-chip "
-                "HBM; skipping (full-scale runs use the FSDP multi-chip path)",
+                f"[bench] layers={layers} quant={quant}: est. params "
+                f"{param_bytes_estimate(layers, quant) / 1e9:.1f} GB exceed "
+                "single-chip HBM; skipping (full-scale bf16 uses the FSDP "
+                "multi-chip path)",
                 file=sys.stderr,
             )
             continue
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(layers)],
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--single", str(layers), quant or "none",
+            ],
             capture_output=True,
             text=True,
         )
@@ -201,7 +215,7 @@ def main():
         if proc.returncode == 0 and proc.stdout.strip():
             print(proc.stdout.strip().splitlines()[-1])
             return
-        last_err = f"layers={layers} rc={proc.returncode}"
+        last_err = f"layers={layers} quant={quant} rc={proc.returncode}"
         print(f"[bench] {last_err}", file=sys.stderr)
     raise SystemExit(f"bench failed at all scales: {last_err}")
 

@@ -17,11 +17,14 @@ trainable-label predicate and the adapter-only checkpoint filter
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from phantom_vlb_tpu.ops.quant import int8_matmul
 
 __all__ = ["LoRAConfig", "LoRADense", "is_lora_path", "lora_merge"]
 
@@ -43,19 +46,43 @@ class LoRADense(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Frozen base stored as int8 + per-channel scales (ops/quant.py):
+    # halves HBM footprint/bandwidth of the 7B backbone.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (in_features, self.features),
-            self.param_dtype,
-        )
-        # Base path — frozen (peft semantics); stop_gradient lets XLA drop
-        # the base dW computation.
-        y = x @ jax.lax.stop_gradient(kernel.astype(self.dtype))
+        if self.quantized:
+            kernel_q = self.param(
+                "kernel_q",
+                lambda key, shape: jax.random.randint(
+                    key, shape, -127, 128, jnp.int8
+                ),
+                (in_features, self.features),
+            )
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.initializers.constant(1.0 / (127.0 * math.sqrt(in_features))),
+                (self.features,),
+                jnp.float32,
+            )
+            y = int8_matmul(
+                x,
+                jax.lax.stop_gradient(kernel_q),
+                jax.lax.stop_gradient(kernel_scale),
+                self.dtype,
+            )
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (in_features, self.features),
+                self.param_dtype,
+            )
+            # Base path — frozen (peft semantics); stop_gradient lets XLA drop
+            # the base dW computation.
+            y = x @ jax.lax.stop_gradient(kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype

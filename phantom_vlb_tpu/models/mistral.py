@@ -58,6 +58,9 @@ class MistralConfig:
     # LoRA on every projection (the reference's find_all_linear_names targets,
     # litmodule.py:36-55); None disables.
     lora: LoRAConfig | None = None
+    # 'int8' stores the frozen base projections quantized (ops/quant.py);
+    # only meaningful with LoRA (base is frozen there).
+    base_quant: str | None = None
 
     @staticmethod
     def tiny(**overrides) -> "MistralConfig":
@@ -118,7 +121,8 @@ def _proj(cfg: MistralConfig, feats: int, name: str):
     """Projection factory: plain Dense, or LoRADense when LoRA is on."""
     if cfg.lora is not None:
         return LoRADense(feats, cfg.lora, use_bias=False,
-                         dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+                         dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         quantized=(cfg.base_quant == "int8"), name=name)
     return nn.Dense(feats, use_bias=False, name=name,
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 

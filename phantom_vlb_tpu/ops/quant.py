@@ -1,0 +1,81 @@
+"""Int8 weight quantization for frozen base parameters.
+
+The frozen 7B backbone is pure inference inside the training step, so its
+weights can live in HBM as int8 with per-output-channel scales: 2x less HBM
+than bf16 (7.1 GB -> 3.6 GB — the full 32-layer model fits one v5e chip) and
+2x less weight bandwidth per matmul, which is the bound for batch-3 decode-
+style matmuls.  The matmul computes ``(x @ q) * scale`` — scales commute out
+of the contraction, so the dequantized matrix is never materialized; XLA
+fuses the int8->bf16 cast into the MXU feed.
+
+The reference never quantizes (bitsandbytes is pinned but unused,
+SURVEY.md §2.10); this is a TPU-native addition, disabled by default and
+exercised by the benchmark/serving paths.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["quantize_int8", "int8_matmul", "quantize_tree"]
+
+
+def quantize_int8(w, axis: int = 0):
+    """Per-channel symmetric int8: returns (q int8, scale f32).
+
+    ``axis`` is the contraction (input) axis; scales are per output channel.
+    """
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=axis, keepdims=True)
+    scale = (absmax / 127.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return q, np.squeeze(scale, axis=axis)
+
+
+def int8_matmul(x, q, scale, dtype=jnp.bfloat16):
+    """y = (x @ dequant(q)) without materializing the dequantized matrix."""
+    y = x.astype(dtype) @ q.astype(dtype)
+    return y * scale.astype(dtype)
+
+
+def quantize_tree(params: dict, should_quantize) -> dict:
+    """Replace selected ``{'kernel': w}`` leaves by int8 pairs.
+
+    ``should_quantize(path_str, leaf)`` selects 2D (or stacked 3D) kernels;
+    the replacement is ``{'kernel_q': int8, 'kernel_scale': f32}``.
+    """
+
+    def walk(node, prefix=""):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if (
+                isinstance(v, dict)
+                and "kernel" in v
+                and not isinstance(v["kernel"], dict)
+                and should_quantize(path, v["kernel"])
+            ):
+                w = np.asarray(v["kernel"], np.float32)
+                if w.ndim == 2:
+                    q, s = quantize_int8(w, axis=0)
+                elif w.ndim == 3:  # stacked scan layers (L, in, out)
+                    qs = [quantize_int8(w[i], axis=0) for i in range(w.shape[0])]
+                    q = np.stack([a for a, _ in qs])
+                    s = np.stack([b for _, b in qs])
+                else:
+                    out[k] = walk(v, path)
+                    continue
+                new_v = {kk: walk(vv, f"{path}/{kk}") for kk, vv in v.items()
+                         if kk != "kernel"}
+                new_v["kernel_q"] = q
+                new_v["kernel_scale"] = s
+                out[k] = new_v
+            else:
+                out[k] = walk(v, path)
+        return out
+
+    return walk(params)

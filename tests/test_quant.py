@@ -1,0 +1,100 @@
+"""Int8 frozen-base quantization tests."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phantom_vlb_tpu.models.lora import LoRAConfig
+from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
+from phantom_vlb_tpu.ops.quant import int8_matmul, quantize_int8, quantize_tree
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.02
+    q, s = quantize_int8(w)
+    deq = q.astype(np.float32) * s
+    # Per-channel int8: relative error bounded by ~1/254 of channel absmax.
+    err = np.abs(deq - w).max(axis=0)
+    bound = np.abs(w).max(axis=0) / 127
+    assert (err <= bound + 1e-7).all()
+
+
+def test_int8_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    q, s = quantize_int8(w)
+    y = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s),
+                               dtype=jnp.float32))
+    expected = x @ (q.astype(np.float32) * s)
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_tree_structure():
+    rng = np.random.default_rng(2)
+    params = {
+        "self_attn": {"q_proj": {"kernel": rng.standard_normal((8, 8)).astype(np.float32)}},
+        "norm": {"weight": np.ones(8, np.float32)},
+    }
+    out = quantize_tree(params, lambda p, w: "q_proj" in p)
+    assert "kernel_q" in out["self_attn"]["q_proj"]
+    assert out["self_attn"]["q_proj"]["kernel_q"].dtype == np.int8
+    assert "kernel" not in out["self_attn"]["q_proj"]
+    assert "weight" in out["norm"]
+
+
+def test_quantized_model_close_to_fp():
+    """Quantized frozen base ~= fp base (small weights => small quant error)."""
+    lora = LoRAConfig(rank=2, alpha=4.0, dropout=0.0)
+    cfg = MistralConfig.tiny(num_hidden_layers=2, lora=lora)
+    cfg_q = dataclasses.replace(cfg, base_quant="int8")
+
+    model = MistralModel(cfg)
+    model_q = MistralModel(cfg_q)
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)) * 0.1, jnp.float32)
+
+    params = jax.tree.map(np.asarray, model.init(jax.random.key(0), embeds)["params"])
+    params_q = quantize_tree(
+        params,
+        lambda p, w: any(
+            t in p for t in ("q_proj", "k_proj", "v_proj", "o_proj",
+                             "gate_proj", "up_proj", "down_proj")
+        ),
+    )
+    out = np.asarray(model.apply({"params": jax.tree.map(jnp.asarray, params)}, embeds))
+    out_q = np.asarray(model_q.apply({"params": jax.tree.map(jnp.asarray, params_q)}, embeds))
+    # int8 error accumulates through 2 layers + norms; loose but meaningful.
+    rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantized_grads_only_adapters():
+    lora = LoRAConfig(rank=2, alpha=4.0, dropout=0.0)
+    cfg = MistralConfig.tiny(num_hidden_layers=1, lora=lora, base_quant="int8")
+    model = MistralModel(cfg)
+    rng = np.random.default_rng(4)
+    embeds = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)), jnp.float32)
+    params = model.init(jax.random.key(0), embeds)["params"]
+
+    from phantom_vlb_tpu.train.step import combine_params, partition_params
+    from phantom_vlb_tpu.models.videollama2 import trainable_predicate
+    from phantom_vlb_tpu.train.optim import trainable_labels
+
+    labels = trainable_labels(params, lambda p, l: any(
+        getattr(k, "key", "") in ("lora_a", "lora_b") for k in p
+    ))
+    trainable, frozen = partition_params(params, labels)
+
+    def loss(t):
+        p = combine_params(t, frozen)
+        return jnp.sum(model.apply({"params": p}, embeds) ** 2)
+
+    grads = jax.grad(loss)(trainable)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    names = {"/".join(getattr(k, "key", "?") for k in path) for path, _ in flat}
+    assert all("lora_" in n for n in names)
+    assert any(float(jnp.abs(g).sum()) > 0 for _, g in flat)
