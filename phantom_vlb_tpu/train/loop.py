@@ -12,7 +12,6 @@ step executes (double buffering); metrics transfer only scalar values.
 from __future__ import annotations
 
 import dataclasses
-import time
 from pathlib import Path
 from typing import Any, Callable, Iterable, Mapping
 
@@ -49,6 +48,9 @@ class TrainLoopConfig:
     run_name: str = "vlb"
     num_target: int = 1000
     checkpoint: bool = True
+    # Failure detection (SURVEY.md §5.3: absent in the reference): abort
+    # after this many consecutive non-finite losses (0 disables).
+    nan_abort_after: int = 3
 
 
 class VLBTrainer:
@@ -160,8 +162,7 @@ class VLBTrainer:
                 if cfg.val_check_interval
                 else 0
             )
-            running: dict[str, float] = {}
-            t0 = time.monotonic()
+            nan_streak = 0
             for i, batch in enumerate(train_loader):
                 dev_batch = self._put(batch)
                 self.state, metrics = self.train_step(
@@ -169,7 +170,17 @@ class VLBTrainer:
                 )
                 self.global_step += 1
                 if self.global_step % cfg.log_every_n_steps == 0:
-                    self._log({"train/brain_loss": float(metrics["brain_loss"])})
+                    loss = float(metrics["brain_loss"])
+                    self._log({"train/brain_loss": loss})
+                    if cfg.nan_abort_after:
+                        nan_streak = 0 if np.isfinite(loss) else nan_streak + 1
+                        if nan_streak >= cfg.nan_abort_after:
+                            raise FloatingPointError(
+                                f"train/brain_loss non-finite for "
+                                f"{nan_streak} consecutive logs at step "
+                                f"{self.global_step}; aborting (last good "
+                                f"checkpoint: {self.ckpt.best_path if self.ckpt else None})"
+                            )
                 if val_every and (i + 1) % val_every == 0 and (i + 1) < n_batches:
                     self.validate(val_loader)
             self.validate(val_loader)
