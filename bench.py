@@ -88,9 +88,10 @@ def build(layers: int, batch_size: int, quant: str | None = None):
 
     labels = trainable_labels(params, trainable_predicate)
     tx = make_optimizer(OptimConfig())
-    state = jax.jit(lambda p: init_train_state(p, tx, labels))(params)
+    state, frozen = init_train_state(params, tx, labels)
+    del params
     step = make_train_step(vlb_forward_fn(model), tx, labels, donate=True)
-    return config, state, step, batch
+    return config, state, frozen, step, batch
 
 
 def train_flops_per_clip(config) -> float:
@@ -139,15 +140,15 @@ def _fits_device(layers: int, quant: str | None = None) -> bool:
 
 def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dict:
     """One bench attempt; raising frees this frame's device arrays."""
-    config, state, step, batch = build(layers, batch_size, quant)
+    config, state, frozen, step, batch = build(layers, batch_size, quant)
     rng = jax.random.key(1)
     _log("compiling train step...")
-    state, metrics = step(state, batch, rng)
+    state, metrics = step(state, frozen, batch, rng)
     _ = float(metrics["brain_loss"])
     _log("train step compiled; timing...")
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics = step(state, frozen, batch, jax.random.fold_in(rng, i))
     _ = float(metrics["brain_loss"])  # host fetch = sync
     dt = (time.perf_counter() - t0) / steps
     clips_per_sec = batch_size / dt

@@ -71,7 +71,7 @@ class VLBTrainer:
         self.mesh_env = mesh_env
         self.tx = make_optimizer(optim_config)
         self.labels = trainable_label_tree
-        self.state = init_train_state(params, self.tx, self.labels)
+        self.state, self.frozen = init_train_state(params, self.tx, self.labels)
         self.train_step = make_train_step(forward_fn, self.tx, self.labels)
         self.eval_step = make_eval_step(forward_fn)
         self.csv_logger = csv_logger or CSVMetricsLogger(
@@ -121,13 +121,22 @@ class VLBTrainer:
         return True
 
     # ------------------------------------------------------------------
+    def full_params(self):
+        """Zero-copy view of trainable + frozen params."""
+        from phantom_vlb_tpu.train.step import combine_params
+
+        if self.frozen is None:
+            return self.state.params
+        return combine_params(self.state.params, self.frozen)
+
     def validate(self, val_loader) -> dict[str, float]:
         pearson = pearson_init(self.config.num_target)
+        params = self.full_params()
         total_loss, total_n = 0.0, 0.0
         for batch in val_loader:
             dev_batch = self._put(batch)
             pearson, metrics = self.eval_step(
-                self.state.params, dev_batch, pearson, self._next_rng()
+                params, dev_batch, pearson, self._next_rng()
             )
             n = float(metrics["n"])
             total_loss += float(metrics["brain_loss"]) * n
@@ -166,7 +175,7 @@ class VLBTrainer:
             for i, batch in enumerate(train_loader):
                 dev_batch = self._put(batch)
                 self.state, metrics = self.train_step(
-                    self.state, dev_batch, self._next_rng()
+                    self.state, self.frozen, dev_batch, self._next_rng()
                 )
                 self.global_step += 1
                 if self.global_step % cfg.log_every_n_steps == 0:
@@ -203,7 +212,7 @@ class VLBTrainer:
 
         try:
             export_adapters(
-                self.state.params,
+                self.full_params(),
                 Path(self.config.output_dir) / "adapters",
                 keep,
             )

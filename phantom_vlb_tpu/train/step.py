@@ -71,16 +71,25 @@ class TrainState:
     opt_state: Any
 
 
-def init_train_state(params, tx: optax.GradientTransformation, labels=None) -> TrainState:
+def init_train_state(params, tx: optax.GradientTransformation, labels=None):
+    """Build (TrainState, frozen).
+
+    With ``labels``, ``state.params`` holds ONLY the trainable subtree and the
+    frozen subtree is returned separately: it is passed to the train step as a
+    read-only argument, so the multi-GB frozen backbone is never donated or
+    double-buffered across steps.  Without labels, frozen is None and
+    ``state.params`` is the full tree.
+    """
     if labels is None:
-        opt_target = params
+        trainable, frozen = params, None
     else:
-        opt_target, _ = partition_params(params, labels)
-    return TrainState(
+        trainable, frozen = partition_params(params, labels)
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=tx.init(opt_target),
+        params=trainable,
+        opt_state=tx.init(trainable),
     )
+    return state, frozen
 
 
 def _masked_mse(pred: jnp.ndarray, y: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
@@ -97,28 +106,26 @@ def make_train_step(
     labels=None,
     donate: bool = True,
 ):
+    """Returns ``step(state, frozen, batch, rng) -> (state, metrics)``.
+
+    ``state`` (trainable params + opt state) is donated; ``frozen`` is a
+    read-only argument — one resident copy of the backbone, ever.
+    """
+    has_frozen = labels is not None
+
     def loss_fn(trainable, frozen, batch, rng):
-        params = combine_params(trainable, frozen) if labels is not None else trainable
+        params = combine_params(trainable, frozen) if has_frozen else trainable
         pred, l2_reg = forward_fn(params, batch, rng, True)
         mse = _masked_mse(pred, batch["timeseries"], batch["row_mask"])
         loss = mse + l2_reg
         return loss, {"brain_loss": loss, "mse": mse, "l2_reg": l2_reg}
 
-    def train_step(state: TrainState, batch, rng):
-        if labels is not None:
-            trainable, frozen = partition_params(state.params, labels)
-        else:
-            trainable, frozen = state.params, None
+    def train_step(state: TrainState, frozen, batch, rng):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, batch, rng
+            state.params, frozen, batch, rng
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
-        new_trainable = optax.apply_updates(trainable, updates)
-        new_params = (
-            combine_params(new_trainable, frozen)
-            if labels is not None
-            else new_trainable
-        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )

@@ -169,19 +169,19 @@ def test_train_steps_run(tiny_batches):
     fwd = vlb_forward_fn(model)
     labels = trainable_labels(params, trainable_predicate)
     tx = make_optimizer(OptimConfig(lr=1e-3, t_max=100))
-    state = init_train_state(params, tx, labels)
+    state, frozen = init_train_state(params, tx, labels)
     step = make_train_step(fwd, tx, labels, donate=False)
     eval_step = make_eval_step(fwd)
 
     losses = []
     for i, b in enumerate(tiny_batches * 3):
         batch = {k: jnp.asarray(v) for k, v in b.as_dict().items()}
-        state, metrics = step(state, batch, jax.random.key(i))
+        state, metrics = step(state, frozen, batch, jax.random.key(i))
         losses.append(float(metrics["brain_loss"]))
     assert all(np.isfinite(losses))
-    # Optimizer state exists only for trainable leaves: frozen params unchanged.
+    # Frozen params live outside the optimized state and never change.
     base_before = params["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
-    base_after = state.params["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    base_after = frozen["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
     np.testing.assert_array_equal(np.asarray(base_before), np.asarray(base_after))
     head_before = params["head"]["ridge"]["linear"]["kernel"]
     head_after = state.params["head"]["ridge"]["linear"]["kernel"]
