@@ -228,6 +228,22 @@ def build_trainer(config: Config):
         run_name=str(config.get("run_name", "vlb")),
         num_target=model_cfg.num_target,
     )
+    # Dual loggers like the reference (train.py:32-39): CSV (the brain-maps
+    # API) always; Comet when configured; console for interactive runs.
+    from phantom_vlb_tpu.utils.logging import CometLoggerSink, ConsoleLogger
+
+    extra_loggers: list = [ConsoleLogger()]
+    comet_cfg = config.get("comet", None)
+    if comet_cfg and comet_cfg.get("enabled", False):
+        extra_loggers.append(
+            CometLoggerSink(
+                api_key=comet_cfg.get("api_key"),
+                workspace=comet_cfg.get("workspace"),
+                project=comet_cfg.get("project", "phantom_mm"),
+                name=config.get("run_name"),
+            )
+        )
+
     trainer = VLBTrainer(
         vlb_forward_fn(model),
         params,
@@ -235,6 +251,7 @@ def build_trainer(config: Config):
         loop_cfg,
         trainable_label_tree=labels,
         mesh_env=env,
+        extra_loggers=extra_loggers,
     )
     # H-params logged twice, like the reference (train.py:35 full config,
     # train.py:50 train/val file lists).
