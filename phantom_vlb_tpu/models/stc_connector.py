@@ -64,7 +64,9 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        # eps matches torch nn.LayerNorm (timm LayerNorm2d subclass) default.
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=self.param_dtype)(x)
 
 
 class SqueezeExcite(nn.Module):
