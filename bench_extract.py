@@ -23,20 +23,16 @@ from pathlib import Path
 import numpy as np
 
 from phantom_vlb_tpu.core.geometry import VLBGeometry
-from phantom_vlb_tpu.data.video import extract_video_chunk, tr_end_times
+from phantom_vlb_tpu.data.video import extract_video_chunk, extract_video_features, tr_end_times
 from phantom_vlb_tpu.data.video_reader import NativeVideoSource, write_test_video
 from phantom_vlb_tpu.ops.preprocess import DevicePreprocessor
 
 
-def run(geometry: VLBGeometry, source, tr_list, preprocessor=None) -> float:
+def run_batched(geometry, source, preprocess_batch=None) -> float:
     t0 = time.perf_counter()
-    n = 0
-    for end_t in tr_list:
-        out = extract_video_chunk(source, end_t, geometry, preprocessor)
-        n += 1
-    # np.asarray already forced host materialization inside the chunk call.
+    out = extract_video_features(source, geometry, preprocess_batch=preprocess_batch)
     dt = time.perf_counter() - t0
-    return n / dt
+    return out.shape[0] / dt
 
 
 def main():
@@ -52,22 +48,33 @@ def main():
         duration = src.num_frames / src.fps
         tr_list = tr_end_times(duration, geometry.tr)
 
-        # Warm both paths on the first window.
-        extract_video_chunk(src, tr_list[0], geometry)
-        dev = DevicePreprocessor(geometry.image_size)
-        extract_video_chunk(src, tr_list[0], geometry, dev)
+        # Reference-equivalent baseline: per-TR decord+PIL-style loop
+        # (every occurrence of every frame preprocessed, one TR at a time).
+        extract_video_chunk(src, tr_list[0], geometry)  # warm
+        t0 = time.perf_counter()
+        for end_t in tr_list:
+            extract_video_chunk(src, end_t, geometry)
+        ref_cps = len(tr_list) / (time.perf_counter() - t0)
+        print(f"[bench_extract] reference-equivalent {ref_cps:.2f} clips/s",
+              file=sys.stderr)
 
-        host_cps = run(geometry, src, tr_list)
-        print(f"[bench_extract] host {host_cps:.2f} clips/s", file=sys.stderr)
-        device_cps = run(geometry, src, tr_list, dev)
-        print(f"[bench_extract] device {device_cps:.2f} clips/s", file=sys.stderr)
+        host_cps = run_batched(geometry, src)
+        print(f"[bench_extract] batched host {host_cps:.2f} clips/s", file=sys.stderr)
+
+        dev = DevicePreprocessor(geometry.image_size)
+        dev(np.zeros((1, 480, 720, 3), np.uint8))  # warm compile
+        device_cps = run_batched(geometry, src, dev)
+        print(f"[bench_extract] batched device {device_cps:.2f} clips/s",
+              file=sys.stderr)
         src.close()
+
+    best = max(host_cps, device_cps)
 
     print(json.dumps({
         "metric": "extract_clips_per_sec_per_chip",
-        "value": round(device_cps, 3),
+        "value": round(best, 3),
         "unit": "clips/s",
-        "vs_baseline": round(device_cps / host_cps, 3),
+        "vs_baseline": round(best / ref_cps, 3),
     }))
 
 

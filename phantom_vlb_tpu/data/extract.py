@@ -35,8 +35,7 @@ from phantom_vlb_tpu.data.text import (
 )
 from phantom_vlb_tpu.data.video import (
     VideoSource,
-    extract_video_chunk,
-    tr_end_times,
+    extract_video_features,
 )
 
 __all__ = ["ExtractConfig", "get_input_paths", "extract_episode", "extract_features"]
@@ -81,22 +80,26 @@ def extract_episode(
     geometry: VLBGeometry,
     tokenizer: TokenizerProtocol,
     chat_template: Callable[[str, str], str] = default_chat_template,
+    preprocess_batch=None,
 ) -> FeatureEpisode:
-    """Full single-episode extraction (text + video)."""
+    """Full single-episode extraction (text + video).
+
+    ``preprocess_batch`` selects the frame-preprocessing backend: None = host
+    thread pool (byte-parity path); ``ops.preprocess.DevicePreprocessor`` =
+    fused TPU pad/resize/normalize.
+    """
     processor = TranscriptProcessor(tokenizer, geometry, chat_template)
     scene_onsets = get_scene_onsets(seg_df)
     tokens, onsets, maskvals = processor.process_episode(transcript_df, scene_onsets)
 
-    duration = video_source.num_frames / video_source.fps
-    video_rows = [
-        extract_video_chunk(video_source, end_t, geometry)
-        for end_t in tr_end_times(duration, geometry.tr)
-    ]
+    video = extract_video_features(
+        video_source, geometry, preprocess_batch=preprocess_batch
+    )
     return FeatureEpisode(
         transcript_features=tokens,
         transcript_onsets=onsets,
         masking_params=maskvals,
-        video_features=np.asarray(video_rows, np.float32),
+        video_features=video,
     )
 
 

@@ -150,6 +150,69 @@ def clip_preprocess(images: Sequence[np.ndarray], image_size: int) -> np.ndarray
     return out
 
 
+def extract_video_features(
+    source: VideoSource,
+    geometry: VLBGeometry,
+    preprocess_batch=None,
+    chunk_tr: int = 32,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Whole-episode video features: (n_TR, num_frames, 3, S, S) float32.
+
+    Byte-identical to mapping :func:`extract_video_chunk` over all TRs, but:
+    - frames shared by overlapping TR windows are preprocessed ONCE
+      (the reference re-preprocesses every occurrence — ~3x the work at
+      window=3);
+    - preprocessing runs in batches of ``chunk_tr`` windows (one device call
+      per chunk on the TPU path; a thread pool on the host path);
+    - head-of-episode black padding is preprocessed once and reused.
+    """
+    import concurrent.futures as cf
+    import math
+
+    g = geometry
+    duration = source.num_frames / source.fps
+    tr_list = tr_end_times(duration, g.tr)
+    n_tr = len(tr_list)
+
+    if preprocess_batch is None:
+        pool = cf.ThreadPoolExecutor(max_workers=max(1, num_threads))
+
+        def preprocess_batch(frames):  # noqa: F811
+            chunk = max(1, math.ceil(len(frames) / max(1, num_threads)))
+            parts = [frames[i : i + chunk] for i in range(0, len(frames), chunk)]
+            outs = list(pool.map(lambda p: host_preprocess(list(p), g.image_size), parts))
+            return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    out = np.empty((n_tr, g.num_frames, 3, g.image_size, g.image_size), np.float32)
+    black_processed = None
+
+    for start in range(0, n_tr, chunk_tr):
+        trs = tr_list[start : start + chunk_tr]
+        windows = [
+            tr_window_indices(t, g.window, source.fps, source.num_frames,
+                              g.tr, g.frames_per_tr)
+            for t in trs
+        ]
+        unique = sorted({i for w in windows for i in w})
+        frames = source.get_batch(unique)
+        processed = np.asarray(preprocess_batch(frames), np.float32)
+        index = {fi: k for k, fi in enumerate(unique)}
+
+        if black_processed is None and any(len(w) < g.num_frames for w in windows):
+            black = np.zeros_like(frames[0])
+            black_processed = np.asarray(preprocess_batch(black[None]), np.float32)[0]
+
+        for row, w in enumerate(windows):
+            t = start + row
+            for j in range(g.num_frames):
+                if j < len(w):
+                    out[t, j] = processed[index[w[j]]]
+                else:
+                    out[t, j] = black_processed
+    return out
+
+
 def host_preprocess(frames: Sequence[np.ndarray], image_size: int) -> np.ndarray:
     """Default host path: expand2square + CLIP preprocess (byte-parity)."""
     fill = tuple(int(x * 255) for x in CLIP_MEAN)
