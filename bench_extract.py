@@ -44,29 +44,42 @@ def main():
         fps = 29.97
         write_test_video(path, w=720, h=480, n=int(seconds * fps), fps=fps)
 
-        src = NativeVideoSource(path, cache_size=max(256, geometry.num_frames * 8))
+        def fresh():
+            # Cold source per measurement: decode cost included for every
+            # path, exactly as in a real extraction run.
+            return NativeVideoSource(
+                path, cache_size=max(256, geometry.num_frames * 8)
+            )
+
+        src = fresh()
         duration = src.num_frames / src.fps
         tr_list = tr_end_times(duration, geometry.tr)
+        extract_video_chunk(src, tr_list[0], geometry)  # warm PIL/numpy paths
+        src.close()
 
         # Reference-equivalent baseline: per-TR decord+PIL-style loop
         # (every occurrence of every frame preprocessed, one TR at a time).
-        extract_video_chunk(src, tr_list[0], geometry)  # warm
+        src = fresh()
         t0 = time.perf_counter()
         for end_t in tr_list:
             extract_video_chunk(src, end_t, geometry)
         ref_cps = len(tr_list) / (time.perf_counter() - t0)
+        src.close()
         print(f"[bench_extract] reference-equivalent {ref_cps:.2f} clips/s",
               file=sys.stderr)
 
+        src = fresh()
         host_cps = run_batched(geometry, src)
+        src.close()
         print(f"[bench_extract] batched host {host_cps:.2f} clips/s", file=sys.stderr)
 
         dev = DevicePreprocessor(geometry.image_size)
-        dev(np.zeros((1, 480, 720, 3), np.uint8))  # warm compile
+        dev(np.zeros((64, 480, 720, 3), np.uint8))  # warm compile
+        src = fresh()
         device_cps = run_batched(geometry, src, dev)
+        src.close()
         print(f"[bench_extract] batched device {device_cps:.2f} clips/s",
               file=sys.stderr)
-        src.close()
 
     best = max(host_cps, device_cps)
 

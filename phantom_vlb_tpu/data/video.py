@@ -139,15 +139,17 @@ def clip_preprocess(images: Sequence[np.ndarray], image_size: int) -> np.ndarray
 
     rescale 1/255 -> resize (bicubic, as HF CLIP) -> normalize; inputs are
     already square (expand2square), so resize+center-crop == direct resize.
+    The normalize/transpose runs vectorized over the whole batch (one fused
+    numpy pass; the reference normalizes per frame inside the processor).
     """
-    out = np.empty((len(images), 3, image_size, image_size), np.float32)
-    for i, img in enumerate(images):
-        if img.shape[0] != image_size:
-            img = _resize_bilinear(img, image_size)
-        arr = img.astype(np.float32) / 255.0
-        arr = (arr - CLIP_MEAN) / CLIP_STD
-        out[i] = arr.transpose(2, 0, 1)
-    return out
+    resized = np.stack([
+        img if img.shape[0] == image_size else _resize_bilinear(img, image_size)
+        for img in images
+    ])
+    scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
+    bias = (-CLIP_MEAN / CLIP_STD).astype(np.float32)
+    out = resized.astype(np.float32) * scale + bias
+    return np.ascontiguousarray(out.transpose(0, 3, 1, 2))
 
 
 def extract_video_features(
@@ -155,7 +157,7 @@ def extract_video_features(
     geometry: VLBGeometry,
     preprocess_batch=None,
     chunk_tr: int = 32,
-    num_threads: int = 4,
+    num_threads: int = 0,
 ) -> np.ndarray:
     """Whole-episode video features: (n_TR, num_frames, 3, S, S) float32.
 
@@ -176,13 +178,23 @@ def extract_video_features(
     n_tr = len(tr_list)
 
     if preprocess_batch is None:
-        pool = cf.ThreadPoolExecutor(max_workers=max(1, num_threads))
+        if num_threads <= 1:
+            def preprocess_batch(frames):  # noqa: F811
+                # Sub-batches keep the normalize temporaries cache-resident
+                # (large batches cost ~2x per frame on small-cache hosts).
+                parts = [
+                    host_preprocess(list(frames[i : i + 16]), g.image_size)
+                    for i in range(0, len(frames), 16)
+                ]
+                return parts[0] if len(parts) == 1 else np.concatenate(parts)
+        else:
+            pool = cf.ThreadPoolExecutor(max_workers=num_threads)
 
-        def preprocess_batch(frames):  # noqa: F811
-            chunk = max(1, math.ceil(len(frames) / max(1, num_threads)))
-            parts = [frames[i : i + chunk] for i in range(0, len(frames), chunk)]
-            outs = list(pool.map(lambda p: host_preprocess(list(p), g.image_size), parts))
-            return np.concatenate(outs) if len(outs) > 1 else outs[0]
+            def preprocess_batch(frames):  # noqa: F811
+                chunk = max(1, math.ceil(len(frames) / num_threads))
+                parts = [frames[i : i + chunk] for i in range(0, len(frames), chunk)]
+                outs = list(pool.map(lambda p: host_preprocess(list(p), g.image_size), parts))
+                return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
     out = np.empty((n_tr, g.num_frames, 3, g.image_size, g.image_size), np.float32)
     black_processed = None
@@ -203,13 +215,15 @@ def extract_video_features(
             black = np.zeros_like(frames[0])
             black_processed = np.asarray(preprocess_batch(black[None]), np.float32)[0]
 
+        # Single vectorized gather per chunk; slot len(processed) = black pad.
+        if black_processed is not None:
+            table = np.concatenate([processed, black_processed[None]])
+        else:
+            table = processed
+        idx = np.full((len(windows), g.num_frames), len(processed), np.int64)
         for row, w in enumerate(windows):
-            t = start + row
-            for j in range(g.num_frames):
-                if j < len(w):
-                    out[t, j] = processed[index[w[j]]]
-                else:
-                    out[t, j] = black_processed
+            idx[row, : len(w)] = [index[fi] for fi in w]
+        out[start : start + len(windows)] = table[idx]
     return out
 
 

@@ -62,9 +62,21 @@ def _preprocess_jit(frames: jnp.ndarray, image_size: int) -> jnp.ndarray:
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
 def device_preprocess(frames: np.ndarray, image_size: int) -> np.ndarray:
-    """One-shot helper (jit-cached per input shape)."""
-    return np.asarray(_preprocess_jit(jnp.asarray(frames), image_size))
+    """One-shot helper; batch is padded to a size bucket so varying unique-
+    frame counts reuse one compiled program instead of recompiling."""
+    n = frames.shape[0]
+    m = _bucket(n)
+    if m != n:
+        frames = np.concatenate(
+            [frames, np.zeros((m - n, *frames.shape[1:]), frames.dtype)]
+        )
+    out = np.asarray(_preprocess_jit(jnp.asarray(frames), image_size))
+    return out[:n]
 
 
 class DevicePreprocessor:
