@@ -89,6 +89,16 @@ class LazyDataset:
             self._local.files = [h5py.File(p, "r") for p in self.paths]
         return self._local.files
 
+    def close(self) -> None:
+        """Close this thread's handles (other threads' close on GC)."""
+        for f in getattr(self._local, "files", []):
+            try:
+                f.close()
+            except Exception:
+                pass
+        if hasattr(self._local, "files"):
+            del self._local.files
+
     def __len__(self) -> int:
         return self.length
 
