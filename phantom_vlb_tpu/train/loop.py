@@ -12,6 +12,7 @@ step executes (double buffering); metrics transfer only scalar values.
 from __future__ import annotations
 
 import dataclasses
+import time
 from pathlib import Path
 from typing import Any, Callable, Iterable, Mapping
 
@@ -172,15 +173,21 @@ class VLBTrainer:
                 else 0
             )
             nan_streak = 0
+            window_t0, window_steps = time.perf_counter(), 0
             for i, batch in enumerate(train_loader):
                 dev_batch = self._put(batch)
                 self.state, metrics = self.train_step(
                     self.state, self.frozen, dev_batch, self._next_rng()
                 )
                 self.global_step += 1
+                window_steps += 1
                 if self.global_step % cfg.log_every_n_steps == 0:
-                    loss = float(metrics["brain_loss"])
-                    self._log({"train/brain_loss": loss})
+                    loss = float(metrics["brain_loss"])  # host sync
+                    now = time.perf_counter()
+                    sps = window_steps / max(now - window_t0, 1e-9)
+                    window_t0, window_steps = now, 0
+                    self._log({"train/brain_loss": loss,
+                               "train/steps_per_sec": sps})
                     if cfg.nan_abort_after:
                         nan_streak = 0 if np.isfinite(loss) else nan_streak + 1
                         if nan_streak >= cfg.nan_abort_after:
