@@ -64,8 +64,14 @@ class CheckpointManager:
 
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure/shardings of ``target``."""
+        return self.restore_path(self.directory / name, target)
+
+    def restore_path(self, path, target: Any) -> Any:
+        """Restore from an arbitrary checkpoint directory."""
+        from pathlib import Path as _P
+
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        return self._ckpt.restore(self.directory / name, abstract)
+        return self._ckpt.restore(_P(path).resolve(), abstract)
 
 
 def _filter_tree(tree: Any, keep: Callable[[str], bool], prefix: str = "") -> Any:

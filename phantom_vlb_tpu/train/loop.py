@@ -70,6 +70,7 @@ class VLBTrainer:
     ):
         self.config = loop_config
         self.mesh_env = mesh_env
+        self.forward_fn = forward_fn
         self.tx = make_optimizer(optim_config)
         self.labels = trainable_label_tree
         self.state, self.frozen = init_train_state(params, self.tx, self.labels)

@@ -102,3 +102,36 @@ def test_stage4_brainmaps_cli(pipeline_dir):
     ])
     assert rc == 0
     assert glob.glob(str(pipeline_dir / "map_val-*.html"))
+
+
+def test_stage5_predict_cli(pipeline_dir):
+    """vlb-predict: restore 'last', sweep val split, export predictions."""
+    import h5py
+
+    from phantom_vlb_tpu.cli.predict import main
+
+    pattern = str(pipeline_dir / "lazy" / "friends_llFile_sub-01_s*_n*.h5")
+    out = pipeline_dir / "preds.h5"
+    rc = main([
+        "experiment=vlb_friends_lora",
+        "subject=sub-01",
+        f"datamodule.lazyload_path={pattern}",
+        "datamodule.seasons=[s1]",
+        "datamodule.batch_size=4",
+        "datamodule.num_workers=2",
+        "model.preset=tiny",
+        "model.lora_r=4",
+        "model.lora_alpha=8",
+        "model.lora_dropout=0.0",
+        f"output_dir={pipeline_dir / 'results'}",
+        "run_name=e2e_pred",
+        "mesh.fsdp=4",
+        "mesh.tensor=2",
+        f"predict.checkpoint={pipeline_dir / 'results' / 'last'}",
+        f"predict.out={out}",
+    ])
+    assert rc == 0
+    with h5py.File(out) as f:
+        assert f["predicted"].shape == f["actual"].shape
+        assert f["predicted"].shape[1] == TEST_GEOMETRY.num_parcels
+        assert f["val_corr_roi"].shape == (TEST_GEOMETRY.num_parcels,)
