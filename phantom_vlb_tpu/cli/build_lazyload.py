@@ -9,8 +9,11 @@ import argparse
 import dataclasses
 import sys
 
-from phantom_vlb_tpu.core.geometry import VLBGeometry
-from phantom_vlb_tpu.data.lazyload_build import LazyloadBuildConfig, build_lazyload_dsets
+from phantom_vlb_tpu.data.lazyload_build import (
+    LazyloadBuildConfig,
+    build_lazyload_dsets,
+    infer_geometry,
+)
 
 
 def main(argv=None) -> int:
@@ -25,8 +28,11 @@ def main(argv=None) -> int:
     p.add_argument("--window", type=int, default=3)
     args = p.parse_args(argv)
 
-    geometry = VLBGeometry(window=args.window, delay=args.delay)
-    geometry.validate()
+    # Geometry is inferred from the features file (frames/sample, image
+    # size, token widths) so builder and extraction can never disagree.
+    geometry = infer_geometry(
+        args.features_path, window=args.window, delay=args.delay
+    )
     paths = build_lazyload_dsets(
         LazyloadBuildConfig(
             features_path=args.features_path,

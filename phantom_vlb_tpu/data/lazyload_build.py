@@ -45,6 +45,46 @@ def lazyload_filename(subject: str, season: str, split: int) -> str:
     return f"friends_llFile_{subject}_{season}_n{split}.h5"
 
 
+def infer_geometry(
+    features_path: str,
+    window: int = 3,
+    delay: int = 3,
+    tr: float = 1.49,
+    patch_size: int = 14,
+) -> VLBGeometry:
+    """Derive the full geometry from a features file's actual shapes.
+
+    The reference CLI takes only window/delay and trusts the data implicitly
+    (lazyloading.py:18-48); deriving from the file guarantees the builder's
+    HRF weight vectors (num_ds_frames) and padding widths always match the
+    extraction geometry.
+    """
+    import dataclasses as _dc
+
+    with h5py.File(features_path, "r") as f:
+        ep = next(iter(f.keys()))
+        n, num_frames, _, image_size, _ = f[ep]["video_features"].shape
+        max_lang = f[ep]["transcript_features"].shape[1]
+        onsets_width = f[ep]["transcript_onsets"].shape[1]
+
+    assert num_frames % window == 0, (
+        f"{num_frames} frames/sample not divisible by window={window}"
+    )
+    probe = VLBGeometry(
+        tr=tr,
+        frames_per_tr=num_frames // window,
+        window=window,
+        delay=delay,
+        model_max_length=0,  # fixed next from max_lang
+        image_size=image_size,
+        patch_size=patch_size,
+        onsets_width=onsets_width,
+    )
+    geom = _dc.replace(probe, model_max_length=probe.num_vis_tokens + max_lang - 1)
+    geom.validate()
+    return geom
+
+
 @dataclasses.dataclass
 class LazyloadBuildConfig:
     features_path: str

@@ -262,7 +262,90 @@ def build_trainer(config: Config):
     return trainer, train_loader, val_loader
 
 
+def run_cached_training(config: Config) -> dict:
+    """Frozen-baseline fast path: precompute backbone features once, then
+    train only the head over the cache (BASELINE.md config #2;
+    train/precompute.py). ~max_epochs x fewer backbone passes than the
+    reference recipe with identical math (tested to f16-cache tolerance)."""
+    from pathlib import Path
+
+    from phantom_vlb_tpu.models.heads import BrainReadoutHead
+    from phantom_vlb_tpu.train.precompute import (
+        CachedFeatureLoader,
+        build_feature_cache,
+        head_forward_fn,
+    )
+
+    m = config.model
+    assert bool(m.get("freeze_backbone", True)) and not bool(
+        m.get("use_lora", False)
+    ), "cache_features requires the frozen-baseline regime"
+
+    seed = int(config.random_state)
+    np.random.seed(seed)
+    train_loader, val_loader, dset_names = build_loaders(config.datamodule)
+
+    model_cfg = build_model_config(m)
+    model = VideoLLaMA2VLB(model_cfg)
+    params = init_model_params(
+        model, model_cfg.geometry, model_cfg.mistral.vocab_size, seed
+    )
+    ckpt_path = m.get("checkpoint_path")
+    if ckpt_path:
+        params = load_pretrained_params(model_cfg, ckpt_path, params)
+
+    out_dir = Path(str(config.output_dir))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    caches = {}
+    for split, loader in (("train", train_loader), ("val", val_loader)):
+        path = out_dir / f"feature_cache_{split}.h5"
+        if not path.exists():
+            print(f"building {split} feature cache -> {path}")
+            build_feature_cache(model, params, loader, path, model_cfg.geometry)
+        caches[split] = path
+
+    batch_size = int(config.datamodule.batch_size)
+    cached_train = CachedFeatureLoader(
+        caches["train"], batch_size, shuffle=True, seed=seed
+    )
+    cached_val = CachedFeatureLoader(
+        caches["val"], batch_size,
+        shuffle=bool(config.datamodule.get("shuffle_val_data", False)),
+    )
+
+    head = BrainReadoutHead(
+        hidden_size=model_cfg.mistral.hidden_size,
+        num_target=model_cfg.num_target,
+        l2_lambda=model_cfg.l2_lambda,
+        dropout_rate=model_cfg.dropout_rate,
+    )
+    optim = config.optim
+    optim_cfg = OptimConfig(
+        lr=float(optim.lr), betas=tuple(optim.betas), eps=float(optim.eps),
+        weight_decay=float(optim.weight_decay),
+        lr_scheduler_name=str(optim.lr_scheduler_name),
+        t_max=int(optim.t_max), grad_clip=float(optim.get("grad_clip", 1.0)),
+    )
+    tr = config.trainer
+    loop_cfg = TrainLoopConfig(
+        max_epochs=int(tr.max_epochs),
+        val_check_interval=float(tr.val_check_interval),
+        log_every_n_steps=int(tr.log_every_n_steps),
+        seed=seed,
+        output_dir=str(config.output_dir),
+        run_name=str(config.get("run_name", "vlb")),
+        num_target=model_cfg.num_target,
+    )
+    trainer = VLBTrainer(
+        head_forward_fn(head), params["head"], optim_cfg, loop_cfg
+    )
+    trainer.csv_logger.log_hyperparams(dset_names)
+    return trainer.fit(cached_train, cached_val)
+
+
 def run_training(config: Config) -> dict:
+    if bool(config.get("model", {}).get("cache_features", False)):
+        return run_cached_training(config)
     trainer, train_loader, val_loader = build_trainer(config)
     if bool(config.get("trainer", {}).get("resume", False)):
         if trainer.maybe_resume():

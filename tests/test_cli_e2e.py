@@ -135,3 +135,38 @@ def test_stage5_predict_cli(pipeline_dir):
         assert f["predicted"].shape == f["actual"].shape
         assert f["predicted"].shape[1] == TEST_GEOMETRY.num_parcels
         assert f["val_corr_roi"].shape == (TEST_GEOMETRY.num_parcels,)
+
+
+def test_cached_baseline_training(pipeline_dir):
+    """model.cache_features=true: precompute-once + head-only training."""
+    from phantom_vlb_tpu.cli.train import main
+
+    if not glob.glob(str(pipeline_dir / "lazy" / "*.h5")):
+        test_stage2_cli(pipeline_dir)  # standalone-run support
+    pattern = str(pipeline_dir / "lazy" / "friends_llFile_sub-01_s*_n*.h5")
+    rc = main([
+        "experiment=vlb_friends_baseline",
+        "subject=sub-01",
+        f"datamodule.lazyload_path={pattern}",
+        "datamodule.seasons=[s1]",
+        "datamodule.batch_size=4",
+        "model.preset=tiny",
+        "model.cache_features=true",
+        "trainer.max_epochs=2",
+        "trainer.val_check_interval=0.5",
+        "trainer.log_every_n_steps=2",
+        "optim.t_max=100",
+        f"output_dir={pipeline_dir / 'results_cached'}",
+        "run_name=cached",
+    ])
+    assert rc == 0
+    assert (pipeline_dir / "results_cached" / "feature_cache_train.h5").exists()
+    assert (pipeline_dir / "results_cached" / "feature_cache_val.h5").exists()
+    import glob as globlib
+    import pandas as pd
+
+    csvs = globlib.glob(
+        str(pipeline_dir / "results_cached" / "cached" / "*" / "metrics.csv")
+    )
+    df = pd.read_csv(csvs[0])
+    assert df["val/brain_loss"].notna().sum() >= 2
