@@ -425,10 +425,15 @@ def attention(
     kv_mask=None,
     impl: str = "auto",
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1664,
     interpret: bool | None = None,
 ):
-    """Multi-head (GQA) attention; shapes q (B,Hq,S,D), k/v (B,Hkv,S,D)."""
+    """Multi-head (GQA) attention; shapes q (B,Hq,S,D), k/v (B,Hkv,S,D).
+
+    Block-size defaults are tuned on v5e at the VLB geometry (BENCHMARKS.md);
+    the kv block is additionally snapped to the 128-multiple that minimizes
+    sequence padding (e.g. seq 3328 -> bk 1664 exactly, not 1024 -> pad 4096).
+    """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "auto":
@@ -438,5 +443,19 @@ def attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bq = min(block_q, max(q.shape[2], 8))
-    bk = min(block_kv, max(k.shape[2], 128))
+    bk = _pick_kv_block(k.shape[2], block_kv)
     return _flash(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
+
+
+def _pick_kv_block(skv: int, max_block: int) -> int:
+    """Largest 128-multiple <= max_block minimizing padded-seq overhead."""
+    if skv <= 128:
+        return 128
+    best_bk, best_pad = 128, None
+    for bk in range(128, min(max_block, ((skv + 127) // 128) * 128) + 1, 128):
+        padded = -(-skv // bk) * bk
+        if best_pad is None or padded < best_pad or (
+            padded == best_pad and bk > best_bk
+        ):
+            best_bk, best_pad = bk, padded
+    return best_bk
