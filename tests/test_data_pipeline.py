@@ -174,3 +174,25 @@ def test_loader_prefetch_matches_sync(stage_dirs):
     for bs, bp in zip(sync, pref):
         np.testing.assert_array_equal(bs.language, bp.language)
         np.testing.assert_array_equal(bs.timeseries, bp.timeseries)
+
+
+def test_infer_geometry_from_features(stage_dirs):
+    """Builder geometry derives from the features file (no blind defaults)."""
+    from phantom_vlb_tpu.data.lazyload_build import infer_geometry
+
+    g = infer_geometry(
+        stage_dirs["feat"], window=TEST_GEOMETRY.window, delay=TEST_GEOMETRY.delay
+    )
+    assert g.frames_per_tr == TEST_GEOMETRY.frames_per_tr
+    assert g.image_size == TEST_GEOMETRY.image_size
+    assert g.max_lang_tokens == TEST_GEOMETRY.max_lang_tokens
+    assert g.onsets_width == TEST_GEOMETRY.onsets_width
+    assert g.num_ds_frames == TEST_GEOMETRY.num_ds_frames
+    assert g.model_max_length == TEST_GEOMETRY.model_max_length
+
+
+def test_infer_geometry_rejects_bad_window(stage_dirs):
+    from phantom_vlb_tpu.data.lazyload_build import infer_geometry
+
+    with pytest.raises(AssertionError):
+        infer_geometry(stage_dirs["feat"], window=3)  # 4 frames % 3 != 0
