@@ -68,6 +68,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
             lora=LoRAConfig(),
             scan_layers=True,
             base_quant=quant,
+            remat_policy=os.environ.get("VLB_BENCH_REMAT", "nothing"),
         ),
         freeze_backbone=False,
     )

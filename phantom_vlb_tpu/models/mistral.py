@@ -51,6 +51,9 @@ class MistralConfig:
     param_dtype: Any = jnp.float32
     attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
     remat: bool = True
+    # 'nothing' recomputes everything in backward (min memory);
+    # 'dots' saves matmul outputs (faster backward, more HBM).
+    remat_policy: str = "nothing"
     # lax.scan over the 32 decoder layers: one compiled layer body (fast
     # compile, stacked (L, ...) params). The unrolled stack remains for
     # hidden-states introspection / HF-parity tests.
@@ -115,6 +118,14 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     )
     return out.astype(x.dtype)
+
+
+def _remat_policy(name: str):
+    if name == "nothing":
+        return jax.checkpoint_policies.nothing_saveable
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r}")
 
 
 def _proj(cfg: MistralConfig, feats: int, name: str):
@@ -230,7 +241,7 @@ class MistralModel(nn.Module):
             if cfg.remat:
                 body = nn.remat(
                     MistralScanBlock,
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=_remat_policy(cfg.remat_policy),
                     static_argnums=(4,),
                 )
             self.layers_scan = nn.scan(
@@ -245,7 +256,7 @@ class MistralModel(nn.Module):
             if cfg.remat:
                 block = nn.remat(
                     MistralDecoderLayer,
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=_remat_policy(cfg.remat_policy),
                     static_argnums=(4,),
                 )
             self.layers = [
