@@ -27,6 +27,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from phantom_vlb_tpu.models.lora import LoRAConfig, LoRADense
@@ -52,7 +53,9 @@ class MistralConfig:
     attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
     remat: bool = True
     # 'nothing' recomputes everything in backward (min memory);
-    # 'dots' saves matmul outputs (faster backward, more HBM).
+    # 'attn' additionally saves attention outputs (~50 MB/layer at the VLB
+    # geometry) so backward skips the flash-attention recompute;
+    # 'dots' saves all matmul outputs (fastest backward, most HBM).
     remat_policy: str = "nothing"
     # lax.scan over the 32 decoder layers: one compiled layer body (fast
     # compile, stacked (L, ...) params). The unrolled stack remains for
@@ -123,6 +126,8 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
 def _remat_policy(name: str):
     if name == "nothing":
         return jax.checkpoint_policies.nothing_saveable
+    if name == "attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     raise ValueError(f"unknown remat_policy {name!r}")
@@ -166,6 +171,7 @@ class MistralAttention(nn.Module):
         out = flash_attention(
             q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
         )
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         return proj(cfg.hidden_size, "o_proj", out)
 
