@@ -28,7 +28,10 @@ def main(argv=None) -> int:
     if not config.get("experiment") and "datamodule" not in config:
         parser.error("select an experiment, e.g. experiment=vlb_friends_lora")
 
+    from phantom_vlb_tpu.core.distributed import maybe_initialize_distributed
     from phantom_vlb_tpu.train.builder import run_training
+
+    maybe_initialize_distributed()
 
     final = run_training(config)
     if final:
