@@ -50,6 +50,8 @@ def test_stage2_cli(pipeline_dir):
 def test_stage3_train_cli(pipeline_dir):
     from phantom_vlb_tpu.cli.train import main
 
+    if not glob.glob(str(pipeline_dir / "lazy" / "*.h5")):
+        test_stage2_cli(pipeline_dir)  # standalone-run support
     pattern = str(pipeline_dir / "lazy" / "friends_llFile_sub-01_s*_n*.h5")
     rc = main([
         "experiment=vlb_friends_lora",
@@ -87,6 +89,8 @@ def test_stage3_train_cli(pipeline_dir):
 def test_stage4_brainmaps_cli(pipeline_dir):
     from phantom_vlb_tpu.cli.brainmaps import main
 
+    if not glob.glob(str(pipeline_dir / "results" / "e2e" / "*" / "metrics.csv")):
+        test_stage3_train_cli(pipeline_dir)  # standalone-run support
     n = TEST_GEOMETRY.num_parcels
     atlas = np.zeros((6, 6, 4), np.int32)
     for i in range(n):
@@ -110,6 +114,8 @@ def test_stage5_predict_cli(pipeline_dir):
 
     from phantom_vlb_tpu.cli.predict import main
 
+    if not (pipeline_dir / "results" / "last").exists():
+        test_stage3_train_cli(pipeline_dir)  # standalone-run support
     pattern = str(pipeline_dir / "lazy" / "friends_llFile_sub-01_s*_n*.h5")
     out = pipeline_dir / "preds.h5"
     rc = main([
