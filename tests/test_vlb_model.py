@@ -186,3 +186,40 @@ def test_train_steps_run(tiny_batches):
     head_before = params["head"]["ridge"]["linear"]["kernel"]
     head_after = state.params["head"]["ridge"]["linear"]["kernel"]
     assert not np.allclose(np.asarray(head_before), np.asarray(head_after))
+
+
+def test_lora_merge_equivalence(tiny_batches):
+    """lora_merge folds adapters into base: merged plain model == LoRA model."""
+    import dataclasses
+
+    from phantom_vlb_tpu.models.lora import lora_merge
+
+    cfg = VLBConfig.tiny(use_lora=True)
+    model, params = _init(cfg, tiny_batches[0])
+    # Give adapters nonzero effect.
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.05 if any(
+            getattr(k, "key", "") == "lora_b" for k in p
+        ) else x,
+        params,
+    )
+    b = tiny_batches[0]
+    args = (
+        jnp.asarray(b.language), jnp.asarray(b.vision), jnp.asarray(b.padvals),
+        jnp.asarray(b.vis_weights), jnp.asarray(b.lang_weights),
+    )
+    pred_lora, _ = model.apply({"params": params}, *args)
+
+    scaling = cfg.mistral.lora.scaling
+    merged = lora_merge(jax.tree.map(np.asarray, params), scaling)
+    plain_cfg = VLBConfig.tiny(use_lora=False)
+    plain_cfg = dataclasses.replace(
+        plain_cfg, mistral=dataclasses.replace(plain_cfg.mistral, lora=None)
+    )
+    plain = VideoLLaMA2VLB(plain_cfg)
+    pred_merged, _ = plain.apply(
+        {"params": jax.tree.map(jnp.asarray, merged)}, *args
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_lora), np.asarray(pred_merged), atol=1e-4, rtol=1e-4
+    )
