@@ -104,18 +104,27 @@ def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
     )
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float):
+    """(cos, sin) tables (B, 1, S, D/2), computed once per forward.
+
+    Hoisted out of the layer stack: inside the scanned/rematted layers these
+    would be recomputed 32x in forward and again in backward.
+    """
+    inv_freq = rope_frequencies(head_dim, theta)          # (D/2,)
+    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, rope, theta: float | None = None) -> jnp.ndarray:
     """Rotary embedding, HF 'split-half' convention.
 
-    x: (B, H, S, D); positions: (B, S) int32.
-    HF rotates [x1, x2] halves: out = x*cos + rotate_half(x)*sin with
-    cos/sin built from concatenated frequencies.
+    x: (B, H, S, D); ``rope`` is either precomputed ``(cos, sin)`` tables or
+    a (B, S) positions array (tables are then built on the fly).
     """
-    d = x.shape[-1]
-    inv_freq = rope_frequencies(d, theta)                 # (D/2,)
-    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # (B,1,S,D/2)
-    cos = jnp.cos(angles)
-    sin = jnp.sin(angles)
+    if isinstance(rope, tuple):
+        cos, sin = rope
+    else:
+        cos, sin = rope_tables(rope, x.shape[-1], theta)
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
@@ -153,7 +162,7 @@ class MistralAttention(nn.Module):
     config: MistralConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
+    def __call__(self, x, rope, kv_mask=None, deterministic: bool = True):
         cfg = self.config
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -165,8 +174,8 @@ class MistralAttention(nn.Module):
         k = proj(hkv * d, "k_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
         v = proj(hkv * d, "v_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
 
-        q = apply_rope(q, positions, cfg.rope_theta)
-        k = apply_rope(k, positions, cfg.rope_theta)
+        q = apply_rope(q, rope, cfg.rope_theta)
+        k = apply_rope(k, rope, cfg.rope_theta)
 
         out = flash_attention(
             q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
@@ -191,12 +200,12 @@ class MistralMLP(nn.Module):
         return proj(cfg.hidden_size, "down_proj", nn.silu(gate) * up)
 
 
-def _decoder_forward(cfg: MistralConfig, x, positions, kv_mask, deterministic):
+def _decoder_forward(cfg: MistralConfig, x, rope, kv_mask, deterministic):
     """Shared decoder-layer body (instantiated inside a compact context)."""
     h = x + MistralAttention(cfg, name="self_attn")(
         RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
                 name="input_layernorm")(x),
-        positions,
+        rope,
         kv_mask,
         deterministic,
     )
@@ -212,8 +221,8 @@ class MistralDecoderLayer(nn.Module):
     config: MistralConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
-        return _decoder_forward(self.config, x, positions, kv_mask, deterministic)
+    def __call__(self, x, rope, kv_mask=None, deterministic: bool = True):
+        return _decoder_forward(self.config, x, rope, kv_mask, deterministic)
 
 
 class MistralScanBlock(nn.Module):
@@ -223,8 +232,8 @@ class MistralScanBlock(nn.Module):
     collect_inputs: bool = False
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask=None, deterministic: bool = True):
-        out = _decoder_forward(self.config, x, positions, kv_mask, deterministic)
+    def __call__(self, x, rope, kv_mask=None, deterministic: bool = True):
+        out = _decoder_forward(self.config, x, rope, kv_mask, deterministic)
         return out, (x if self.collect_inputs else None)
 
 
@@ -290,6 +299,7 @@ class MistralModel(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
         x = inputs_embeds.astype(cfg.dtype)
+        rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
         if cfg.scan_layers:
             if output_hidden_states:
@@ -299,7 +309,7 @@ class MistralModel(nn.Module):
                     "post-norm output directly, which equals "
                     "hidden_states[-1] (litmodule.py:245)."
                 )
-            x, _ = self.layers_scan(x, positions, kv_mask, deterministic)
+            x, _ = self.layers_scan(x, rope, kv_mask, deterministic)
             return self.final_norm(x)
 
         # HF semantics (the reference pools ``hidden_states[-1]``,
@@ -311,7 +321,7 @@ class MistralModel(nn.Module):
         for layer in self.layers:
             if output_hidden_states:
                 hidden_states.append(x)
-            x = layer(x, positions, kv_mask, deterministic)
+            x = layer(x, rope, kv_mask, deterministic)
 
         x = self.final_norm(x)
         if output_hidden_states:
