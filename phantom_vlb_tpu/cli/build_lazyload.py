@@ -6,7 +6,6 @@ Mirrors ``videollama2_vlb_lazyloading.py`` (same argument names).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 from phantom_vlb_tpu.data.lazyload_build import (

@@ -23,8 +23,6 @@ import os
 from pathlib import Path
 from typing import Callable
 
-import numpy as np
-
 from phantom_vlb_tpu.core.geometry import VLBGeometry
 from phantom_vlb_tpu.data.schemas import FeatureEpisode, list_feature_episodes, write_feature_episode
 from phantom_vlb_tpu.data.text import (

@@ -17,8 +17,6 @@ thread/process-local), so the reference's fork-shared-handle hazard
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from phantom_vlb_tpu.data.loader import LazyDataset

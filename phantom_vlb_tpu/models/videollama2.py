@@ -27,7 +27,6 @@ backward graphs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import flax.linen as nn
 import jax

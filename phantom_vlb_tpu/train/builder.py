@@ -23,7 +23,6 @@ from phantom_vlb_tpu.data.loader import (
     split_train_val,
 )
 from phantom_vlb_tpu.models.lora import LoRAConfig
-from phantom_vlb_tpu.models.mistral import MistralConfig
 from phantom_vlb_tpu.models.videollama2 import (
     VLBConfig,
     VideoLLaMA2VLB,

@@ -14,12 +14,10 @@ fsdp.yaml:12).
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Any, Callable
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager", "export_adapters", "load_adapters"]

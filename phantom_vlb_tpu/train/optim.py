@@ -47,8 +47,6 @@ def make_schedule(config: OptimConfig) -> optax.Schedule:
 
 def trainable_labels(params, predicate: Callable[[tuple, object], bool]):
     """Label tree: 'train' where predicate(path, leaf) else 'freeze'."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    labels = {}
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: "train" if predicate(path, leaf) else "freeze", params
     )

@@ -22,7 +22,6 @@ recipe ~max_epochs x cheaper.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import h5py
