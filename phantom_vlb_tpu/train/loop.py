@@ -28,7 +28,7 @@ from phantom_vlb_tpu.train.metrics import (
     pearson_init,
     roi_metric_names,
 )
-from phantom_vlb_tpu.train.optim import OptimConfig, make_optimizer
+from phantom_vlb_tpu.train.optim import OptimConfig, make_optimizer, make_schedule
 from phantom_vlb_tpu.train.step import (
     TrainState,
     init_train_state,
@@ -72,6 +72,7 @@ class VLBTrainer:
         self.mesh_env = mesh_env
         self.forward_fn = forward_fn
         self.tx = make_optimizer(optim_config)
+        self._schedule = make_schedule(optim_config)
         self.labels = trainable_label_tree
         self.state, self.frozen = init_train_state(params, self.tx, self.labels)
         self.train_step = make_train_step(forward_fn, self.tx, self.labels)
@@ -187,8 +188,13 @@ class VLBTrainer:
                     now = time.perf_counter()
                     sps = window_steps / max(now - window_t0, 1e-9)
                     window_t0, window_steps = now, 0
-                    self._log({"train/brain_loss": loss,
-                               "train/steps_per_sec": sps})
+                    self._log({
+                        "train/brain_loss": loss,
+                        "train/steps_per_sec": sps,
+                        # LR column, as the reference's LearningRateMonitor
+                        # (train.py:28; Lightning names it 'lr-AdamW').
+                        "lr-AdamW": float(self._schedule(self.global_step)),
+                    })
                     if cfg.nan_abort_after:
                         nan_streak = 0 if np.isfinite(loss) else nan_streak + 1
                         if nan_streak >= cfg.nan_abort_after:
