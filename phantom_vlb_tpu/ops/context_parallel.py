@@ -15,7 +15,6 @@ future Pallas ring kernel with compute/RDMA overlap.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -99,5 +98,4 @@ def ring_attention(
         mesh=env.mesh,
         in_specs=(spec_q, spec_q, spec_q),
         out_specs=spec_q,
-        check_rep=False,
     )(q, k, v)
