@@ -24,7 +24,7 @@ from jax.sharding import PartitionSpec as P
 
 from phantom_vlb_tpu.core.mesh import MeshEnv, SEQUENCE_AXIS
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "ring_flash_attention"]
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -98,4 +98,75 @@ def ring_attention(
         mesh=env.mesh,
         in_specs=(spec_q, spec_q, spec_q),
         out_specs=spec_q,
+    )(q, k, v)
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    env: MeshEnv,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    axis: str = SEQUENCE_AXIS,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Ring attention with the Pallas flash kernel per rotation step.
+
+    Each step runs the flash kernel over (local q, rotated kv) with a
+    device-dependent ``causal_offset`` (a runtime SMEM scalar), then folds the
+    block's (out, logsumexp) into the running result with the standard
+    log-sum-exp merge.  Forward-only for now (the differentiable path is
+    :func:`ring_attention`); intended for serving / long-sequence inference.
+    """
+    from phantom_vlb_tpu.ops.flash_attention import attention_with_stats
+
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    n_shards = env.mesh.shape[axis]
+    if n_shards == 1:
+        from phantom_vlb_tpu.ops.flash_attention import attention
+
+        return attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                         interpret=interpret)
+
+    b, hq, s_global, d = q.shape
+    s_loc = s_global // n_shards
+    assert s_global % n_shards == 0
+
+    def body(q_loc, k_loc, v_loc):
+        idx = jax.lax.axis_index(axis)
+
+        o = jnp.zeros(q_loc.shape, jnp.float32)
+        lse = jnp.full((b, hq, s_loc), _NEG, jnp.float32)
+
+        k_blk, v_blk = k_loc, v_loc
+        for step in range(n_shards):
+            src = (idx - step) % n_shards
+            offset = ((idx - src) * s_loc).astype(jnp.int32)
+            o_blk, lse_blk = attention_with_stats(
+                q_loc, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
+                causal_offset=offset, interpret=interpret,
+            )
+            m = jnp.maximum(lse, lse_blk)
+            w_old = jnp.exp(lse - m)
+            w_new = jnp.exp(lse_blk - m)
+            denom = jnp.maximum(w_old + w_new, 1e-30)
+            o = (o * w_old[..., None]
+                 + o_blk.astype(jnp.float32) * w_new[..., None]) / denom[..., None]
+            lse = m + jnp.log(denom)
+            if step < n_shards - 1:
+                perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+                k_blk = jax.lax.ppermute(k_blk, axis, perm)
+                v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        return o.astype(q_loc.dtype)
+
+    spec = P(None, None, axis, None)
+    return shard_map(
+        body,
+        mesh=env.mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axis metadata.
+        check_vma=False,
     )(q, k, v)

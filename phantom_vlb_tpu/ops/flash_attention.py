@@ -67,11 +67,12 @@ def xla_attention(q, k, v, *, causal=True, sm_scale=None, kv_mask=None):
 # Pallas kernels.
 # ---------------------------------------------------------------------------
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, mask_ref, offset_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, causal, sm_scale, nk, bq, bk,
 ):
     qi, ki = pl.program_id(2), pl.program_id(3)
+    offset = offset_ref[0]
 
     @pl.when(ki == 0)
     def _():
@@ -81,7 +82,7 @@ def _fwd_kernel(
 
     run = True
     if causal:
-        run = ((qi + 1) * bq - 1) >= (ki * bk)
+        run = ((qi + 1) * bq - 1 + offset) >= (ki * bk)
 
     @pl.when(run)
     def _():
@@ -96,7 +97,7 @@ def _fwd_kernel(
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row
+            mask = col <= row + offset
         if mask_ref is not None:
             kvm = mask_ref[0, 0:1, :] > 0  # (1, bk)
             kvm = jnp.broadcast_to(kvm, (bq, bk))
@@ -128,11 +129,12 @@ def _fwd_kernel(
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref, dq_ref,
+    q_ref, k_ref, v_ref, mask_ref, offset_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_scr,
     *, causal, sm_scale, nk, bq, bk,
 ):
     qi, ki = pl.program_id(2), pl.program_id(3)
+    offset = offset_ref[0]
 
     @pl.when(ki == 0)
     def _():
@@ -140,7 +142,7 @@ def _dq_kernel(
 
     run = True
     if causal:
-        run = ((qi + 1) * bq - 1) >= (ki * bk)
+        run = ((qi + 1) * bq - 1 + offset) >= (ki * bk)
 
     @pl.when(run)
     def _():
@@ -159,7 +161,7 @@ def _dq_kernel(
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row
+            mask = col <= row + offset
         if mask_ref is not None:
             kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
             mask = kvm if mask is None else (mask & kvm)
@@ -182,13 +184,14 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
+    q_ref, k_ref, v_ref, mask_ref, offset_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, causal, sm_scale, group, nq, bq, bk,
 ):
     # grid: (B, Hkv, nk, group, nq)
     ki, gi, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    offset = offset_ref[0]
 
     @pl.when((gi == 0) & (qi == 0))
     def _():
@@ -197,7 +200,7 @@ def _dkv_kernel(
 
     run = True
     if causal:
-        run = ((qi + 1) * bq - 1) >= (ki * bk)
+        run = ((qi + 1) * bq - 1 + offset) >= (ki * bk)
 
     @pl.when(run)
     def _():
@@ -216,7 +219,7 @@ def _dkv_kernel(
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row
+            mask = col <= row + offset
         if mask_ref is not None:
             kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
             mask = kvm if mask is None else (mask & kvm)
@@ -256,7 +259,7 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
+def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -274,8 +277,9 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
     else:
         maskp = _pad_to(kv_mask.astype(jnp.int32)[:, None, :], skv_p, 2)
 
+    offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk
+        _fwd_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -285,6 +289,7 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
             pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
@@ -303,11 +308,11 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, maskp)
+    )(qp, kp, vp, maskp, offset_arr)
     return out[:, :, :sq], lse[:, :, :sq, 0], maskp
 
 
-def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret):
+def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret, offset=0):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -326,8 +331,9 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
     lsep = _pad_to(lse, sq_p, 2)
     lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 128))
 
+    offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
     dq_kernel = functools.partial(
-        _dq_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk
+        _dq_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -337,6 +343,7 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
             pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
             pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
             pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
@@ -348,7 +355,7 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, kv_maskp, dop, lsep, di)
+    )(qp, kp, vp, kv_maskp, offset_arr, dop, lsep, di)
 
     dkv_kernel = functools.partial(
         _dkv_kernel, causal=causal, sm_scale=sm_scale,
@@ -364,6 +371,7 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
             pl.BlockSpec((1, 1, bk), lambda b_, h, j, g, i: (b_, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
             ),
@@ -390,31 +398,61 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, kv_maskp, dop, lsep, di)
+    )(qp, kp, vp, kv_maskp, offset_arr, dop, lsep, di)
 
     return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
-    out, _, _ = _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, kv_mask, offset, causal, sm_scale, bq, bk, interpret):
+    out, _, _ = _fwd_impl(
+        q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset
+    )
     return out
 
 
-def _flash_fwd(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret):
-    out, lse, maskp = _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
-    return out, (q, k, v, maskp, out, lse)
+def _flash_fwd(q, k, v, kv_mask, offset, causal, sm_scale, bq, bk, interpret):
+    out, lse, maskp = _fwd_impl(
+        q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset
+    )
+    return out, (q, k, v, maskp, offset, out, lse)
 
 
 def _flash_bwd(causal, sm_scale, bq, bk, interpret, res, do):
-    q, k, v, maskp, out, lse = res
+    q, k, v, maskp, offset, out, lse = res
     dq, dk, dv = _bwd_impl(
-        q, k, v, maskp, out, lse, do, causal, sm_scale, bq, bk, interpret
+        q, k, v, maskp, out, lse, do, causal, sm_scale, bq, bk, interpret, offset
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def attention_with_stats(
+    q, k, v,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    kv_mask=None,
+    causal_offset: int = 0,
+    block_q: int = 512,
+    block_kv: int = 1664,
+    interpret: bool | None = None,
+):
+    """Forward-only attention returning (out, logsumexp) — the partial-result
+    form used by ring/context-parallel combination. Not differentiable; use
+    :func:`attention` (or ops.context_parallel.ring_attention) for training."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, max(q.shape[2], 8))
+    bk = _pick_kv_block(k.shape[2], block_kv)
+    out, lse, _ = _fwd_impl(
+        q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, causal_offset
+    )
+    return out, lse
 
 
 def attention(
@@ -427,6 +465,7 @@ def attention(
     block_q: int = 512,
     block_kv: int = 1664,
     interpret: bool | None = None,
+    causal_offset: int = 0,
 ):
     """Multi-head (GQA) attention; shapes q (B,Hq,S,D), k/v (B,Hkv,S,D).
 
@@ -439,12 +478,13 @@ def attention(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
+        assert causal_offset == 0, "causal_offset requires the pallas impl"
         return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale, kv_mask=kv_mask)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bq = min(block_q, max(q.shape[2], 8))
     bk = _pick_kv_block(k.shape[2], block_kv)
-    return _flash(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret)
+    return _flash(q, k, v, kv_mask, causal_offset, causal, sm_scale, bq, bk, interpret)
 
 
 def _pick_kv_block(skv: int, max_block: int) -> int:

@@ -57,3 +57,35 @@ def test_ring_sharded_inputs_stay_sharded(seq_mesh):
     ref = xla_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
     assert out.sharding.is_equivalent_to(spec, ndim=4)
+
+
+def test_causal_offset_kernel_parity():
+    """Offset-aware pallas causal mask == shifted XLA mask."""
+    from phantom_vlb_tpu.ops.flash_attention import attention
+
+    ks = jax.random.split(jax.random.key(5), 3)
+    sq, skv, off = 128, 128, 64
+    q = jax.random.normal(ks[0], (1, 2, sq, 32), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, skv, 32), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, skv, 32), jnp.float32)
+    out = attention(q, k, v, causal=True, impl="pallas", interpret=True,
+                    causal_offset=off)
+    # Reference: mask col <= row + off.
+    import math
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(32)
+    row = jnp.arange(sq)[:, None]
+    col = jnp.arange(skv)[None, :]
+    s = jnp.where(col <= row + off, s, -0.7 * jnp.finfo(jnp.float32).max)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_flash_forward_parity(seq_mesh, causal):
+    from phantom_vlb_tpu.ops.context_parallel import ring_flash_attention
+
+    q, k, v = _inputs(6)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = ring_flash_attention(q, k, v, seq_mesh, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
