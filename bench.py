@@ -69,6 +69,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
             scan_layers=True,
             base_quant=quant,
             remat_policy=os.environ.get("VLB_BENCH_REMAT", "nothing"),
+            scan_unroll=int(os.environ.get("VLB_BENCH_UNROLL", "1")),
         ),
         freeze_backbone=False,
     )

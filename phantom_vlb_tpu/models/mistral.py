@@ -61,6 +61,9 @@ class MistralConfig:
     # compile, stacked (L, ...) params). The unrolled stack remains for
     # hidden-states introspection / HF-parity tests.
     scan_layers: bool = False
+    # Partial unrolling of the layer scan (lax.scan unroll): reduces per-step
+    # scan overhead (~13 ms/layer measured) at modest compile-time cost.
+    scan_unroll: int = 1
     # LoRA on every projection (the reference's find_all_linear_names targets,
     # litmodule.py:36-55); None disables.
     lora: LoRAConfig | None = None
@@ -265,6 +268,7 @@ class MistralModel(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_hidden_layers,
+                unroll=cfg.scan_unroll,
             )(cfg, name="layers_scan")
         else:
             block = MistralDecoderLayer
