@@ -66,7 +66,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
             num_hidden_layers=layers,
             param_dtype=jnp.bfloat16,
             lora=LoRAConfig(),
-            scan_layers=True,
+            scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,
             remat_policy=os.environ.get("VLB_BENCH_REMAT", "nothing"),
             scan_unroll=int(os.environ.get("VLB_BENCH_UNROLL", "1")),
