@@ -180,9 +180,19 @@ class MistralAttention(nn.Module):
         q = apply_rope(q, rope, cfg.rope_theta)
         k = apply_rope(k, rope, cfg.rope_theta)
 
-        out = flash_attention(
-            q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
-        )
+        if cfg.attention_impl == "ring":
+            from phantom_vlb_tpu.ops.context_parallel import (
+                get_sequence_mesh,
+                ring_attention,
+            )
+
+            out = ring_attention(
+                q, k, v, get_sequence_mesh(), causal=True, kv_mask=kv_mask
+            )
+        else:
+            out = flash_attention(
+                q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
+            )
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         return proj(cfg.hidden_size, "o_proj", out)

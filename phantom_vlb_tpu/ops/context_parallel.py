@@ -24,7 +24,29 @@ from jax.sharding import PartitionSpec as P
 
 from phantom_vlb_tpu.core.mesh import MeshEnv, SEQUENCE_AXIS
 
-__all__ = ["ring_attention", "ring_flash_attention"]
+__all__ = [
+    "ring_attention",
+    "ring_flash_attention",
+    "set_sequence_mesh",
+    "get_sequence_mesh",
+]
+
+# Process-level default mesh for model code that selects
+# attention_impl='ring' (modules cannot carry a MeshEnv in their config).
+_SEQUENCE_MESH: MeshEnv | None = None
+
+
+def set_sequence_mesh(env: MeshEnv | None) -> None:
+    global _SEQUENCE_MESH
+    _SEQUENCE_MESH = env
+
+
+def get_sequence_mesh() -> MeshEnv:
+    if _SEQUENCE_MESH is None:
+        raise RuntimeError(
+            "attention_impl='ring' needs set_sequence_mesh(env) first"
+        )
+    return _SEQUENCE_MESH
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -36,6 +58,7 @@ def ring_attention(
     env: MeshEnv,
     causal: bool = True,
     sm_scale: float | None = None,
+    kv_mask: jnp.ndarray | None = None,   # (B, S) valid-token mask
     axis: str = SEQUENCE_AXIS,
 ) -> jnp.ndarray:
     """Numerically equal to full attention over the global sequence."""
@@ -45,15 +68,18 @@ def ring_attention(
     if n_shards == 1:
         from phantom_vlb_tpu.ops.flash_attention import xla_attention
 
-        return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+        return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                             kv_mask=kv_mask)
 
     b, hq, s_global, d = q.shape
     hkv = k.shape[1]
     group = hq // hkv
     s_loc = s_global // n_shards
     assert s_global % n_shards == 0, "sequence must divide the ring size"
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, s_global), jnp.int32)
 
-    def body(q_loc, k_loc, v_loc):
+    def body(q_loc, k_loc, v_loc, mask_loc):
         idx = jax.lax.axis_index(axis)
         qg = q_loc.reshape(b, hkv, group, s_loc, d)
 
@@ -61,7 +87,7 @@ def ring_attention(
         l = jnp.zeros((b, hkv, group, s_loc, 1), jnp.float32)
         o = jnp.zeros((b, hkv, group, s_loc, d), jnp.float32)
 
-        k_blk, v_blk = k_loc, v_loc
+        k_blk, v_blk, m_blk = k_loc, v_loc, mask_loc
         q_pos = idx * s_loc + jnp.arange(s_loc)[:, None]          # (s_loc, 1)
 
         for step in range(n_shards):
@@ -70,10 +96,11 @@ def ring_attention(
                 "bhgqd,bhkd->bhgqk", qg, k_blk,
                 preferred_element_type=jnp.float32,
             ) * sm_scale
+            valid = m_blk[:, None, None, None, :] > 0              # (B,1,1,1,s_loc)
             if causal:
                 kv_pos = src * s_loc + jnp.arange(s_loc)[None, :]  # (1, s_loc)
-                mask = kv_pos <= q_pos                             # (s_loc, s_loc)
-                s_ = jnp.where(mask[None, None, None], s_, _NEG)
+                valid = valid & (kv_pos <= q_pos)[None, None, None]
+            s_ = jnp.where(valid, s_, _NEG)
 
             m_new = jnp.maximum(m, s_.max(-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
@@ -88,6 +115,7 @@ def ring_attention(
                 perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
                 k_blk = jax.lax.ppermute(k_blk, axis, perm)
                 v_blk = jax.lax.ppermute(v_blk, axis, perm)
+                m_blk = jax.lax.ppermute(m_blk, axis, perm)
 
         out = o / jnp.maximum(l, 1e-30)
         return out.reshape(b, hq, s_loc, d).astype(q_loc.dtype)
@@ -96,9 +124,9 @@ def ring_attention(
     return shard_map(
         body,
         mesh=env.mesh,
-        in_specs=(spec_q, spec_q, spec_q),
+        in_specs=(spec_q, spec_q, spec_q, P(None, axis)),
         out_specs=spec_q,
-    )(q, k, v)
+    )(q, k, v, kv_mask)
 
 
 def ring_flash_attention(

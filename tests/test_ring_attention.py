@@ -89,3 +89,42 @@ def test_ring_flash_forward_parity(seq_mesh, causal):
     ref = xla_attention(q, k, v, causal=causal)
     out = ring_flash_attention(q, k, v, seq_mesh, causal=causal, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_ring_with_kv_mask(seq_mesh):
+    q, k, v = _inputs(7)
+    valid = np.ones((B, S), np.int32)
+    valid[0, 200:] = 0
+    valid[1, 64:96] = 0
+    kv_mask = jnp.asarray(valid)
+    ref = xla_attention(q, k, v, causal=True, kv_mask=kv_mask)
+    out = ring_attention(q, k, v, seq_mesh, causal=True, kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_mistral_with_ring_attention(seq_mesh):
+    """Full Mistral forward with attention_impl='ring' == 'xla', incl. mask."""
+    import dataclasses
+
+    from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
+    from phantom_vlb_tpu.ops.context_parallel import set_sequence_mesh
+
+    cfg = MistralConfig.tiny(num_hidden_layers=2)
+    model_x = MistralModel(cfg)
+    model_r = MistralModel(dataclasses.replace(cfg, attention_impl="ring"))
+
+    rng = np.random.default_rng(8)
+    embeds = jnp.asarray(rng.standard_normal((2, 64, cfg.hidden_size)), jnp.float32)
+    mask = np.ones((2, 64), np.int32)
+    mask[:, 50:] = 0
+    params = model_x.init(jax.random.key(0), embeds)["params"]
+
+    ref = model_x.apply({"params": params}, embeds, kv_mask=jnp.asarray(mask))
+    set_sequence_mesh(seq_mesh)
+    try:
+        out = model_r.apply({"params": params}, embeds, kv_mask=jnp.asarray(mask))
+    finally:
+        set_sequence_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :50], np.asarray(ref)[:, :50], atol=2e-4, rtol=2e-4
+    )
