@@ -64,3 +64,21 @@ def test_resume_continues(tmp_path):
 def test_no_resume_when_absent(tmp_path):
     t = _make_trainer(tmp_path / "fresh", max_epochs=1)
     assert not t.maybe_resume()
+
+
+def test_seeded_runs_are_identical(tmp_path):
+    """Same seed => bit-identical loss trajectory (L.seed_everything parity)."""
+    train, val = _data(4, 0), _data(2, 1)
+
+    def run(out):
+        t = _make_trainer(out, max_epochs=2)
+        t.fit(train, val)
+        import pandas as pd
+
+        return pd.read_csv(t.csv_logger.path)
+
+    df1 = run(tmp_path / "a")
+    df2 = run(tmp_path / "b")
+    c1 = df1["val/brain_loss"].dropna().to_numpy()
+    c2 = df2["val/brain_loss"].dropna().to_numpy()
+    np.testing.assert_array_equal(c1, c2)
