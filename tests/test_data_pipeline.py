@@ -196,3 +196,20 @@ def test_infer_geometry_rejects_bad_window(stage_dirs):
 
     with pytest.raises(AssertionError):
         infer_geometry(stage_dirs["feat"], window=3)  # 4 frames % 3 != 0
+
+
+def test_loader_early_break_then_reuse(stage_dirs):
+    """Breaking mid-epoch must not deadlock or corrupt the next epoch."""
+    ds = LazyDataset(stage_dirs["lazy"])
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, prefetch=2, num_threads=2)
+    it = iter(loader)
+    _ = next(it)
+    _ = next(it)
+    del it  # abandon mid-epoch
+
+    full = [b for b in loader]  # fresh epoch must be complete and ordered
+    total = sum(int(b.row_mask.sum()) for b in full)
+    assert total == len(ds)
+    ref = BatchLoader(ds, batch_size=4, shuffle=False, prefetch=0)
+    for a, b in zip(full, ref):
+        np.testing.assert_array_equal(a.language, b.language)
