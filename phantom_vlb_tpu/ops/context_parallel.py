@@ -139,16 +139,18 @@ def ring_flash_attention(
     axis: str = SEQUENCE_AXIS,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Ring attention with the Pallas flash kernel per rotation step.
+    """Ring attention with the Pallas flash kernels — trainable.
 
-    Each step runs the flash kernel over (local q, rotated kv) with a
-    device-dependent ``causal_offset`` (a runtime SMEM scalar), then folds the
-    block's (out, logsumexp) into the running result with the standard
-    log-sum-exp merge.  Forward-only for now (the differentiable path is
-    :func:`ring_attention`); intended for serving / long-sequence inference.
+    Forward: each rotation step runs the flash forward over (local q, rotated
+    kv) with a device-dependent ``causal_offset`` (runtime SMEM scalar), and
+    folds the block's (out, logsumexp) into the running result via the
+    log-sum-exp merge.  Backward (custom VJP): kv blocks rotate again; every
+    step reuses the Pallas dq/dkv kernels with the saved global (out, lse) —
+    the flash decomposition makes per-block grads exact — and the dk/dv
+    accumulators travel WITH their kv blocks, arriving home after a final
+    rotation.  Padding masks are not supported on this path yet (use
+    :func:`ring_attention`).
     """
-    from phantom_vlb_tpu.ops.flash_attention import attention_with_stats
-
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     n_shards = env.mesh.shape[axis]
@@ -157,13 +159,25 @@ def ring_flash_attention(
 
         return attention(q, k, v, causal=causal, sm_scale=sm_scale,
                          interpret=interpret)
+    rf = _make_ring_flash(env, causal, sm_scale, axis, interpret)
+    return rf(q, k, v)
 
-    b, hq, s_global, d = q.shape
-    s_loc = s_global // n_shards
-    assert s_global % n_shards == 0
 
-    def body(q_loc, k_loc, v_loc):
+def _make_ring_flash(env, causal, sm_scale, axis, interpret):
+    from phantom_vlb_tpu.ops.flash_attention import (
+        _bwd_impl,
+        _pick_kv_block,
+        attention_with_stats,
+    )
+
+    n_shards = env.mesh.shape[axis]
+    spec = P(None, None, axis, None)
+    spec_lse = P(None, None, axis)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def fwd_body(q_loc, k_loc, v_loc):
         idx = jax.lax.axis_index(axis)
+        b, hq, s_loc, d = q_loc.shape
 
         o = jnp.zeros(q_loc.shape, jnp.float32)
         lse = jnp.full((b, hq, s_loc), _NEG, jnp.float32)
@@ -184,17 +198,76 @@ def ring_flash_attention(
                  + o_blk.astype(jnp.float32) * w_new[..., None]) / denom[..., None]
             lse = m + jnp.log(denom)
             if step < n_shards - 1:
-                perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
                 k_blk = jax.lax.ppermute(k_blk, axis, perm)
                 v_blk = jax.lax.ppermute(v_blk, axis, perm)
-        return o.astype(q_loc.dtype)
+        return o.astype(q_loc.dtype), lse
 
-    spec = P(None, None, axis, None)
-    return shard_map(
-        body,
-        mesh=env.mesh,
+    def bwd_body(q_loc, k_loc, v_loc, o_loc, lse_loc, do_loc):
+        idx = jax.lax.axis_index(axis)
+        b, hq, s_loc, d = q_loc.shape
+        bq = min(512, max(s_loc, 8))
+        bk = _pick_kv_block(s_loc, 1664)
+        skv_p = -(-s_loc // bk) * bk
+        maskp = jnp.ones((b, 1, skv_p), jnp.int32)
+        if skv_p != s_loc:
+            maskp = maskp.at[:, :, s_loc:].set(0)
+
+        dq = jnp.zeros(q_loc.shape, jnp.float32)
+        dk_blk = jnp.zeros(k_loc.shape, jnp.float32)
+        dv_blk = jnp.zeros(v_loc.shape, jnp.float32)
+
+        k_blk, v_blk = k_loc, v_loc
+        for step in range(n_shards):
+            src = (idx - step) % n_shards
+            offset = ((idx - src) * s_loc).astype(jnp.int32)
+            dq_b, dk_b, dv_b = _bwd_impl(
+                q_loc, k_blk, v_blk, maskp, o_loc, lse_loc, do_loc,
+                causal, sm_scale, bq, bk,
+                interpret if interpret is not None
+                else jax.default_backend() != "tpu",
+                offset,
+            )
+            dq = dq + dq_b.astype(jnp.float32)
+            dk_blk = dk_blk + dk_b.astype(jnp.float32)
+            dv_blk = dv_blk + dv_b.astype(jnp.float32)
+            if step < n_shards - 1:
+                k_blk = jax.lax.ppermute(k_blk, axis, perm)
+                v_blk = jax.lax.ppermute(v_blk, axis, perm)
+                dk_blk = jax.lax.ppermute(dk_blk, axis, perm)
+                dv_blk = jax.lax.ppermute(dv_blk, axis, perm)
+        # One more rotation returns each dk/dv block to its home shard.
+        dk_blk = jax.lax.ppermute(dk_blk, axis, perm)
+        dv_blk = jax.lax.ppermute(dv_blk, axis, perm)
+        return (
+            dq.astype(q_loc.dtype),
+            dk_blk.astype(k_loc.dtype),
+            dv_blk.astype(v_loc.dtype),
+        )
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=env.mesh,
         in_specs=(spec, spec, spec),
-        out_specs=spec,
-        # pallas_call outputs carry no varying-mesh-axis metadata.
+        out_specs=(spec, spec_lse),
         check_vma=False,
-    )(q, k, v)
+    )
+    bwd_sm = shard_map(
+        bwd_body, mesh=env.mesh,
+        in_specs=(spec, spec, spec, spec, spec_lse, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def rf(q, k, v):
+        return fwd_sm(q, k, v)[0]
+
+    def rf_fwd(q, k, v):
+        out, lse = fwd_sm(q, k, v)
+        return out, (q, k, v, out, lse)
+
+    def rf_bwd(res, do):
+        q, k, v, out, lse = res
+        return bwd_sm(q, k, v, out, lse, do)
+
+    rf.defvjp(rf_fwd, rf_bwd)
+    return rf

@@ -128,3 +128,27 @@ def test_mistral_with_ring_attention(seq_mesh):
     np.testing.assert_allclose(
         np.asarray(out)[:, :50], np.asarray(ref)[:, :50], atol=2e-4, rtol=2e-4
     )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_flash_gradient_parity(seq_mesh, causal):
+    """Trainable pallas ring: grads match full-attention grads."""
+    from phantom_vlb_tpu.ops.context_parallel import ring_flash_attention
+
+    q, k, v = _inputs(9)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_flash_attention(q, k, v, seq_mesh, causal=causal, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=causal) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{n} mismatch",
+        )
