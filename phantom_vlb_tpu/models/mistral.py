@@ -50,7 +50,7 @@ class MistralConfig:
     max_position_embeddings: int = 32768
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla'
+    attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'ring' | 'ring_flash'
     remat: bool = True
     # 'nothing' recomputes everything in backward (min memory);
     # 'attn' additionally saves attention outputs (~50 MB/layer at the VLB
@@ -180,13 +180,16 @@ class MistralAttention(nn.Module):
         q = apply_rope(q, rope, cfg.rope_theta)
         k = apply_rope(k, rope, cfg.rope_theta)
 
-        if cfg.attention_impl == "ring":
+        if cfg.attention_impl in ("ring", "ring_flash"):
             from phantom_vlb_tpu.ops.context_parallel import (
                 get_sequence_mesh,
                 ring_attention,
+                ring_flash_attention,
             )
 
-            out = ring_attention(
+            ring = (ring_flash_attention if cfg.attention_impl == "ring_flash"
+                    else ring_attention)
+            out = ring(
                 q, k, v, get_sequence_mesh(), causal=True, kv_mask=kv_mask
             )
         else:

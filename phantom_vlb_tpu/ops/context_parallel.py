@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -136,6 +138,7 @@ def ring_flash_attention(
     env: MeshEnv,
     causal: bool = True,
     sm_scale: float | None = None,
+    kv_mask: jnp.ndarray | None = None,   # (B, S) valid-token mask
     axis: str = SEQUENCE_AXIS,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -148,8 +151,7 @@ def ring_flash_attention(
     step reuses the Pallas dq/dkv kernels with the saved global (out, lse) —
     the flash decomposition makes per-block grads exact — and the dk/dv
     accumulators travel WITH their kv blocks, arriving home after a final
-    rotation.  Padding masks are not supported on this path yet (use
-    :func:`ring_attention`).
+    rotation.  ``kv_mask`` rotates with its kv blocks on both passes.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
@@ -158,14 +160,17 @@ def ring_flash_attention(
         from phantom_vlb_tpu.ops.flash_attention import attention
 
         return attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                         interpret=interpret)
+                         kv_mask=kv_mask, interpret=interpret)
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
     rf = _make_ring_flash(env, causal, sm_scale, axis, interpret)
-    return rf(q, k, v)
+    return rf(q, k, v, kv_mask.astype(jnp.int32))
 
 
 def _make_ring_flash(env, causal, sm_scale, axis, interpret):
     from phantom_vlb_tpu.ops.flash_attention import (
         _bwd_impl,
+        _pad_to,
         _pick_kv_block,
         attention_with_stats,
     )
@@ -175,20 +180,20 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
     spec_lse = P(None, None, axis)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    def fwd_body(q_loc, k_loc, v_loc):
+    def fwd_body(q_loc, k_loc, v_loc, mask_loc):
         idx = jax.lax.axis_index(axis)
         b, hq, s_loc, d = q_loc.shape
 
         o = jnp.zeros(q_loc.shape, jnp.float32)
         lse = jnp.full((b, hq, s_loc), _NEG, jnp.float32)
 
-        k_blk, v_blk = k_loc, v_loc
+        k_blk, v_blk, m_blk = k_loc, v_loc, mask_loc
         for step in range(n_shards):
             src = (idx - step) % n_shards
             offset = ((idx - src) * s_loc).astype(jnp.int32)
             o_blk, lse_blk = attention_with_stats(
                 q_loc, k_blk, v_blk, causal=causal, sm_scale=sm_scale,
-                causal_offset=offset, interpret=interpret,
+                kv_mask=m_blk, causal_offset=offset, interpret=interpret,
             )
             m = jnp.maximum(lse, lse_blk)
             w_old = jnp.exp(lse - m)
@@ -200,26 +205,25 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
             if step < n_shards - 1:
                 k_blk = jax.lax.ppermute(k_blk, axis, perm)
                 v_blk = jax.lax.ppermute(v_blk, axis, perm)
+                m_blk = jax.lax.ppermute(m_blk, axis, perm)
         return o.astype(q_loc.dtype), lse
 
-    def bwd_body(q_loc, k_loc, v_loc, o_loc, lse_loc, do_loc):
+    def bwd_body(q_loc, k_loc, v_loc, mask_loc, o_loc, lse_loc, do_loc):
         idx = jax.lax.axis_index(axis)
         b, hq, s_loc, d = q_loc.shape
         bq = min(512, max(s_loc, 8))
         bk = _pick_kv_block(s_loc, 1664)
         skv_p = -(-s_loc // bk) * bk
-        maskp = jnp.ones((b, 1, skv_p), jnp.int32)
-        if skv_p != s_loc:
-            maskp = maskp.at[:, :, s_loc:].set(0)
 
         dq = jnp.zeros(q_loc.shape, jnp.float32)
         dk_blk = jnp.zeros(k_loc.shape, jnp.float32)
         dv_blk = jnp.zeros(v_loc.shape, jnp.float32)
 
-        k_blk, v_blk = k_loc, v_loc
+        k_blk, v_blk, m_blk = k_loc, v_loc, mask_loc
         for step in range(n_shards):
             src = (idx - step) % n_shards
             offset = ((idx - src) * s_loc).astype(jnp.int32)
+            maskp = _pad_to(m_blk[:, None, :], skv_p, 2)
             dq_b, dk_b, dv_b = _bwd_impl(
                 q_loc, k_blk, v_blk, maskp, o_loc, lse_loc, do_loc,
                 causal, sm_scale, bq, bk,
@@ -233,6 +237,7 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
             if step < n_shards - 1:
                 k_blk = jax.lax.ppermute(k_blk, axis, perm)
                 v_blk = jax.lax.ppermute(v_blk, axis, perm)
+                m_blk = jax.lax.ppermute(m_blk, axis, perm)
                 dk_blk = jax.lax.ppermute(dk_blk, axis, perm)
                 dv_blk = jax.lax.ppermute(dv_blk, axis, perm)
         # One more rotation returns each dk/dv block to its home shard.
@@ -244,30 +249,34 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
             dv_blk.astype(v_loc.dtype),
         )
 
+    spec_mask = P(None, axis)
     fwd_sm = shard_map(
         fwd_body, mesh=env.mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, spec_mask),
         out_specs=(spec, spec_lse),
         check_vma=False,
     )
     bwd_sm = shard_map(
         bwd_body, mesh=env.mesh,
-        in_specs=(spec, spec, spec, spec, spec_lse, spec),
+        in_specs=(spec, spec, spec, spec_mask, spec, spec_lse, spec),
         out_specs=(spec, spec, spec),
         check_vma=False,
     )
 
     @jax.custom_vjp
-    def rf(q, k, v):
-        return fwd_sm(q, k, v)[0]
+    def rf(q, k, v, kv_mask):
+        return fwd_sm(q, k, v, kv_mask)[0]
 
-    def rf_fwd(q, k, v):
-        out, lse = fwd_sm(q, k, v)
-        return out, (q, k, v, out, lse)
+    def rf_fwd(q, k, v, kv_mask):
+        out, lse = fwd_sm(q, k, v, kv_mask)
+        return out, (q, k, v, kv_mask, out, lse)
 
     def rf_bwd(res, do):
-        q, k, v, out, lse = res
-        return bwd_sm(q, k, v, out, lse, do)
+        q, k, v, kv_mask, out, lse = res
+        dq, dk, dv = bwd_sm(q, k, v, kv_mask, out, lse, do)
+        # Integer mask: float0 cotangent (no gradient flows into a mask).
+        dmask = np.zeros(kv_mask.shape, jax.dtypes.float0)
+        return dq, dk, dv, dmask
 
     rf.defvjp(rf_fwd, rf_bwd)
     return rf

@@ -102,8 +102,10 @@ def test_ring_with_kv_mask(seq_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-def test_mistral_with_ring_attention(seq_mesh):
-    """Full Mistral forward with attention_impl='ring' == 'xla', incl. mask."""
+@pytest.mark.parametrize("impl", ["ring", "ring_flash"])
+def test_mistral_with_ring_attention(seq_mesh, impl):
+    """Full Mistral forward with attention_impl='ring'/'ring_flash' == 'xla',
+    including the padding mask riding the ring."""
     import dataclasses
 
     from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
@@ -111,7 +113,7 @@ def test_mistral_with_ring_attention(seq_mesh):
 
     cfg = MistralConfig.tiny(num_hidden_layers=2)
     model_x = MistralModel(cfg)
-    model_r = MistralModel(dataclasses.replace(cfg, attention_impl="ring"))
+    model_r = MistralModel(dataclasses.replace(cfg, attention_impl=impl))
 
     rng = np.random.default_rng(8)
     embeds = jnp.asarray(rng.standard_normal((2, 64, cfg.hidden_size)), jnp.float32)
@@ -128,6 +130,56 @@ def test_mistral_with_ring_attention(seq_mesh):
     np.testing.assert_allclose(
         np.asarray(out)[:, :50], np.asarray(ref)[:, :50], atol=2e-4, rtol=2e-4
     )
+
+
+def test_ring_flash_with_kv_mask(seq_mesh):
+    """Masked ring-flash == masked full attention on valid query rows."""
+    from phantom_vlb_tpu.ops.context_parallel import ring_flash_attention
+
+    q, k, v = _inputs(10)
+    valid = np.ones((B, S), np.int32)
+    valid[0, 200:] = 0
+    valid[1, 64:96] = 0
+    kv_mask = jnp.asarray(valid)
+    ref = xla_attention(q, k, v, causal=True, kv_mask=kv_mask)
+    out = ring_flash_attention(
+        q, k, v, seq_mesh, causal=True, kv_mask=kv_mask, interpret=True
+    )
+    rows = valid[:, None, :, None].astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out) * rows, np.asarray(ref) * rows, atol=3e-5, rtol=3e-5
+    )
+
+
+def test_ring_flash_masked_gradient_parity(seq_mesh):
+    """Grads of the masked ring-flash path match full-attention grads when the
+    loss only reads valid query rows (padding rows are masked downstream)."""
+    from phantom_vlb_tpu.ops.context_parallel import ring_flash_attention
+
+    q, k, v = _inputs(11)
+    valid = np.ones((B, S), np.float32)
+    valid[0, 200:] = 0
+    valid[1, 64:96] = 0
+    kv_mask = jnp.asarray(valid.astype(np.int32))
+    rows = jnp.asarray(valid)[:, None, :, None]
+
+    def loss_ring(q, k, v):
+        out = ring_flash_attention(
+            q, k, v, seq_mesh, causal=True, kv_mask=kv_mask, interpret=True
+        )
+        return jnp.sum((out * rows) ** 2)
+
+    def loss_ref(q, k, v):
+        out = xla_attention(q, k, v, causal=True, kv_mask=kv_mask)
+        return jnp.sum((out * rows) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{n} mismatch",
+        )
 
 
 @pytest.mark.parametrize("causal", [True, False])
