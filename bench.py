@@ -127,7 +127,7 @@ def param_bytes_estimate(layers: int, quant: str | None = None) -> int:
     other = vocab * h + layers * 2 * h
     clip = 24 * (4 * 1024 * 1024 + 2 * 1024 * 4096) + 577 * 1024
     stc = 500e6  # RegNet stages + Conv3d sampler + readout
-    proj_bytes = proj * (1 if quant == "int8" else 2)
+    proj_bytes = proj * (1 if quant in ("int8", "w8a8") else 2)
     return int(proj_bytes + (other + clip + stc) * 2)
 
 

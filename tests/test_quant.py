@@ -8,7 +8,12 @@ import jax.numpy as jnp
 
 from phantom_vlb_tpu.models.lora import LoRAConfig
 from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
-from phantom_vlb_tpu.ops.quant import int8_matmul, quantize_int8, quantize_tree
+from phantom_vlb_tpu.ops.quant import (
+    int8_matmul,
+    int8_matmul_w8a8,
+    quantize_int8,
+    quantize_tree,
+)
 
 
 def test_quantize_roundtrip_error():
@@ -70,6 +75,87 @@ def test_quantized_model_close_to_fp():
     # int8 error accumulates through 2 layers + norms; loose but meaningful.
     rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_w8a8_matmul_close_to_fp():
+    """Dynamic activation quant: small relative error vs the fp matmul."""
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
+    x = rng.standard_normal((3, 8, 64)).astype(np.float32)
+    q, s = quantize_int8(w)
+    y = np.asarray(int8_matmul_w8a8(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), dtype=jnp.float32))
+    expected = x @ (q.astype(np.float32) * s)
+    rel = np.abs(y - expected).mean() / (np.abs(expected).mean() + 1e-9)
+    assert rel < 0.01, rel
+
+
+def test_w8a8_backward_is_dequant_matmul():
+    """Straight-through dx == dy @ dequant(q)^T (same as the w8-only path)."""
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    q, s = quantize_int8(w)
+    qj, sj = jnp.asarray(q), jnp.asarray(s)
+    cot = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda a: int8_matmul_w8a8(a, qj, sj, jnp.float32), x)
+    (dx,) = vjp(cot)
+    deq = (q.astype(np.float32) * s).astype(np.float32)
+    expected = np.asarray(cot) @ deq.T
+    # Backward runs in bf16 (matches the production int8 path's precision).
+    np.testing.assert_allclose(np.asarray(dx), expected, rtol=2e-2, atol=2e-2)
+
+
+def test_w8a8_model_close_to_fp():
+    """Full tiny Mistral with base_quant='w8a8' ~= fp model."""
+    lora = LoRAConfig(rank=2, alpha=4.0, dropout=0.0)
+    cfg = MistralConfig.tiny(num_hidden_layers=2, lora=lora)
+    cfg_q = dataclasses.replace(cfg, base_quant="w8a8")
+
+    model = MistralModel(cfg)
+    model_q = MistralModel(cfg_q)
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)) * 0.1, jnp.float32)
+
+    params = jax.tree.map(np.asarray, model.init(jax.random.key(0), embeds)["params"])
+    params_q = quantize_tree(
+        params,
+        lambda p, w: any(
+            t in p for t in ("q_proj", "k_proj", "v_proj", "o_proj",
+                             "gate_proj", "up_proj", "down_proj")
+        ),
+    )
+    out = np.asarray(model.apply({"params": jax.tree.map(jnp.asarray, params)}, embeds))
+    out_q = np.asarray(model_q.apply({"params": jax.tree.map(jnp.asarray, params_q)}, embeds))
+    rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
+    assert rel < 0.06, rel
+
+
+def test_w8a8_grads_flow_to_adapters():
+    lora = LoRAConfig(rank=2, alpha=4.0, dropout=0.0)
+    cfg = MistralConfig.tiny(num_hidden_layers=1, lora=lora, base_quant="w8a8")
+    model = MistralModel(cfg)
+    rng = np.random.default_rng(8)
+    embeds = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)), jnp.float32)
+    params = model.init(jax.random.key(0), embeds)["params"]
+
+    from phantom_vlb_tpu.train.step import combine_params, partition_params
+    from phantom_vlb_tpu.train.optim import trainable_labels
+
+    labels = trainable_labels(params, lambda p, l: any(
+        getattr(k, "key", "") in ("lora_a", "lora_b") for k in p
+    ))
+    trainable, frozen = partition_params(params, labels)
+
+    def loss(t):
+        p = combine_params(t, frozen)
+        return jnp.sum(model.apply({"params": p}, embeds) ** 2)
+
+    grads = jax.grad(loss)(trainable)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    total = sum(float(jnp.abs(g).sum()) for _, g in flat)
+    assert np.isfinite(total) and total > 0
 
 
 def test_quantized_grads_only_adapters():
