@@ -189,9 +189,10 @@ def main():
     import subprocess
 
     layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
-    # Candidate ladder: full 32L with int8 frozen base (the flagship: the only
-    # single-chip-feasible full-7B config), then bf16 at reduced depth.
-    candidates = [(32, "int8"), (layers_env, None), (16, None), (8, None)]
+    # Candidate ladder: full 32L with w8a8 frozen base (int8 MXU forward —
+    # the fastest single-chip full-7B config, BENCHMARKS.md), then weight-only
+    # int8, then bf16 at reduced depth.
+    candidates = [(32, "w8a8"), (32, "int8"), (layers_env, None), (16, None), (8, None)]
     candidates = [
         (l, q) for l, q in candidates if l <= max(layers_env, 32)
     ]
