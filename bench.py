@@ -175,7 +175,9 @@ def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dic
 
 
 def main():
-    batch_size = int(os.environ.get("VLB_BENCH_BATCH", "3"))  # lora.yaml:16
+    # Throughput-optimal single-chip batch (BENCHMARKS.md: 6 > 3 by ~9%,
+    # 8 OOMs); the reference recipe's own batch is 3 (lora.yaml:16).
+    batch_size = int(os.environ.get("VLB_BENCH_BATCH", "6"))
     steps = int(os.environ.get("VLB_BENCH_STEPS", "10"))
 
     if len(sys.argv) > 2 and sys.argv[1] == "--single":

@@ -22,7 +22,7 @@ import numpy as np
 from phantom_vlb_tpu.data.loader import LazyDataset
 from phantom_vlb_tpu.data.schemas import LazySample
 
-__all__ = ["LazyGrainSource", "make_grain_loader"]
+__all__ = ["LazyGrainSource", "make_grain_loader", "GrainBatchLoader"]
 
 _DTYPES = {
     "timeseries": np.float32,
@@ -99,3 +99,49 @@ def make_grain_loader(
         ],
         worker_count=worker_count,
     )
+
+
+class GrainBatchLoader:
+    """Trainer-compatible wrapper: fixed-shape batches + ``len()``.
+
+    Drop-in for :class:`phantom_vlb_tpu.data.loader.BatchLoader` backed by
+    Grain (``datamodule.loader=grain``): the remainder batch is zero-padded to
+    ``batch_size`` with ``row_mask=0`` so every step reuses one compiled
+    shape, exactly like the native loader.
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        worker_count: int = 0,
+    ):
+        self._paths = list(paths)
+        self.batch_size = int(batch_size)
+        self._seed = seed
+        self._shuffle = shuffle
+        self._worker_count = worker_count
+        self._num_samples = len(LazyGrainSource(paths))
+
+    def __len__(self) -> int:
+        return -(-self._num_samples // self.batch_size)
+
+    def __iter__(self):
+        loader = make_grain_loader(
+            self._paths, self.batch_size, seed=self._seed,
+            shuffle=self._shuffle, num_epochs=1,
+            worker_count=self._worker_count,
+        )
+        for batch in loader:
+            n = batch["row_mask"].shape[0]
+            if n != self.batch_size:
+                pad = self.batch_size - n
+                batch = {
+                    k: np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                    )
+                    for k, v in batch.items()
+                }
+            yield batch

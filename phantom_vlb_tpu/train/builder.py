@@ -47,6 +47,21 @@ def build_loaders(dm: Config) -> tuple[BatchLoader, BatchLoader, dict]:
         "val_set": [f.rsplit("/", 1)[-1] for f in val_files],
         "train_set": [f.rsplit("/", 1)[-1] for f in train_files],
     }
+    if str(dm.get("loader", "native")) == "grain":
+        from phantom_vlb_tpu.data.grain_loader import GrainBatchLoader
+
+        train_loader = GrainBatchLoader(
+            train_files, batch_size=int(dm.batch_size), shuffle=True,
+            seed=int(dm.random_state),
+            worker_count=int(dm.get("num_workers", 0)),
+        )
+        val_loader = GrainBatchLoader(
+            val_files, batch_size=int(dm.batch_size),
+            shuffle=bool(dm.get("shuffle_val_data", False)),
+            seed=int(dm.random_state),
+            worker_count=int(dm.get("num_workers", 0)),
+        )
+        return train_loader, val_loader, dset_names
     train_loader = BatchLoader(
         LazyDataset(train_files),
         batch_size=int(dm.batch_size),
