@@ -127,7 +127,7 @@ def param_bytes_estimate(layers: int, quant: str | None = None) -> int:
     other = vocab * h + layers * 2 * h
     clip = 24 * (4 * 1024 * 1024 + 2 * 1024 * 4096) + 577 * 1024
     stc = 500e6  # RegNet stages + Conv3d sampler + readout
-    proj_bytes = proj * (1 if quant in ("int8", "w8a8") else 2)
+    proj_bytes = proj * (1 if quant in ("int8", "w8a8", "w8a8g8") else 2)
     return int(proj_bytes + (other + clip + stc) * 2)
 
 
@@ -197,10 +197,14 @@ def main():
     import subprocess
 
     layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
-    # Candidate ladder: full 32L with w8a8 frozen base (int8 MXU forward —
-    # the fastest single-chip full-7B config, BENCHMARKS.md), then weight-only
-    # int8, then bf16 at reduced depth.
-    candidates = [(32, "w8a8"), (32, "int8"), (layers_env, None), (16, None), (8, None)]
+    # Candidate ladder: full 32L with w8a8g8 frozen base (int8 MXU on both
+    # passes — the fastest single-chip full-7B config; adapter-grad cosine
+    # >0.98 vs the exact backward, test_quant.py), then forward-only w8a8,
+    # weight-only int8, then bf16 at reduced depth.
+    candidates = [
+        (32, "w8a8g8"), (32, "w8a8"), (32, "int8"),
+        (layers_env, None), (16, None), (8, None),
+    ]
     candidates = [
         (l, q) for l, q in candidates if l <= max(layers_env, 32)
     ]

@@ -24,7 +24,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from phantom_vlb_tpu.ops.quant import int8_matmul, int8_matmul_w8a8
+from phantom_vlb_tpu.ops.quant import (
+    int8_matmul,
+    int8_matmul_w8a8,
+    int8_matmul_w8a8g8,
+)
 
 __all__ = ["LoRAConfig", "LoRADense", "is_lora_path", "lora_merge"]
 
@@ -52,6 +56,9 @@ class LoRADense(nn.Module):
     # Additionally quantize activations per-token (w8a8): ~2x matmul rate on
     # the v5e int8 MXU; backward stays bf16 (straight-through).
     act_quant: bool = False
+    # Also quantize the backward dx matmul (w8a8g8): both passes on the
+    # int8 MXU; dx carries ~0.4% RMS quantization noise.
+    grad_quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -70,7 +77,12 @@ class LoRADense(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
-            matmul = int8_matmul_w8a8 if self.act_quant else int8_matmul
+            if self.grad_quant:
+                matmul = int8_matmul_w8a8g8
+            elif self.act_quant:
+                matmul = int8_matmul_w8a8
+            else:
+                matmul = int8_matmul
             y = matmul(
                 x,
                 jax.lax.stop_gradient(kernel_q),

@@ -150,8 +150,9 @@ def _proj(cfg: MistralConfig, feats: int, name: str):
     if cfg.lora is not None:
         return LoRADense(feats, cfg.lora, use_bias=False,
                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                         quantized=cfg.base_quant in ("int8", "w8a8"),
-                         act_quant=(cfg.base_quant == "w8a8"), name=name)
+                         quantized=cfg.base_quant in ("int8", "w8a8", "w8a8g8"),
+                         act_quant=cfg.base_quant in ("w8a8", "w8a8g8"),
+                         grad_quant=(cfg.base_quant == "w8a8g8"), name=name)
     return nn.Dense(feats, use_bias=False, name=name,
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 

