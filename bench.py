@@ -60,7 +60,8 @@ def build(layers: int, batch_size: int, quant: str | None = None):
 
     # Full production geometry; bf16 master params to fit one 16 GB chip.
     config = VLBConfig(
-        clip=CLIPVisionConfig(param_dtype=jnp.bfloat16, scan_layers=True),
+        clip=CLIPVisionConfig(param_dtype=jnp.bfloat16, scan_layers=True,
+                              base_quant=quant),
         stc=STCConfig(param_dtype=jnp.bfloat16),
         mistral=MistralConfig(
             num_hidden_layers=layers,

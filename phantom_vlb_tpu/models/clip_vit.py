@@ -53,6 +53,10 @@ class CLIPVisionConfig:
     # layers after select_layer are never computed in either mode (the
     # LLaVA/VideoLLaMA2 feature path discards them).
     scan_layers: bool = False
+    # Quantize the (frozen, inference-only) projections like the LLM base:
+    # None | 'int8' | 'w8a8' | 'w8a8g8' (ops/quant.py; backward never runs
+    # here, the tower sits under stop_gradient).
+    base_quant: str | None = None
 
     @property
     def effective_layers(self) -> int:
@@ -87,6 +91,20 @@ def _act(name: str):
     raise ValueError(name)
 
 
+def _dense(cfg: CLIPVisionConfig, features: int, name: str):
+    if cfg.base_quant is not None:
+        from phantom_vlb_tpu.models.lora import FrozenQuantDense
+
+        return FrozenQuantDense(
+            features, use_bias=True, name=name,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            act_quant=cfg.base_quant in ("w8a8", "w8a8g8"),
+            grad_quant=(cfg.base_quant == "w8a8g8"),
+        )
+    return nn.Dense(features, use_bias=True, name=name,
+                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+
+
 class CLIPAttention(nn.Module):
     config: CLIPVisionConfig
 
@@ -96,9 +114,7 @@ class CLIPAttention(nn.Module):
         b, s, e = x.shape
         h = cfg.num_attention_heads
         d = e // h
-        dense = lambda name: nn.Dense(  # noqa: E731
-            e, use_bias=True, name=name, dtype=cfg.dtype, param_dtype=cfg.param_dtype
-        )
+        dense = lambda name: _dense(cfg, e, name)  # noqa: E731
         q = dense("q_proj")(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
         k = dense("k_proj")(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
         v = dense("v_proj")(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
@@ -113,11 +129,9 @@ class CLIPMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, name="fc1",
-                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        x = _dense(cfg, cfg.intermediate_size, "fc1")(x)
         x = _act(cfg.hidden_act)(x)
-        return nn.Dense(cfg.hidden_size, name="fc2",
-                        dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        return _dense(cfg, cfg.hidden_size, "fc2")(x)
 
 
 def _clip_layer_forward(cfg: CLIPVisionConfig, x):

@@ -124,6 +124,56 @@ class LoRADense(nn.Module):
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 
 
+class FrozenQuantDense(nn.Module):
+    """Adapter-free quantized frozen Dense (for the CLIP tower / connector).
+
+    Same storage layout as :class:`LoRADense`'s quantized base
+    (``kernel_q`` int8 + ``kernel_scale``), same matmul dispatch
+    (weight-only / w8a8 / w8a8g8), no trainable branch — these modules sit
+    entirely under ``stop_gradient`` in the VLB model.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    act_quant: bool = False
+    grad_quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
+            (in_features, self.features),
+        )
+        kernel_scale = self.param(
+            "kernel_scale",
+            nn.initializers.constant(1.0 / (127.0 * math.sqrt(in_features))),
+            (self.features,),
+            jnp.float32,
+        )
+        if self.grad_quant:
+            matmul = int8_matmul_w8a8g8
+        elif self.act_quant:
+            matmul = int8_matmul_w8a8
+        else:
+            matmul = int8_matmul
+        y = matmul(
+            x,
+            jax.lax.stop_gradient(kernel_q),
+            jax.lax.stop_gradient(kernel_scale),
+            self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + jax.lax.stop_gradient(bias.astype(self.dtype))
+        return y
+
+
 def is_lora_path(path: str) -> bool:
     """Adapter selector for optimizer labels / adapter-only checkpoints."""
     return "lora_a" in path or "lora_b" in path

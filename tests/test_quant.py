@@ -177,6 +177,29 @@ def test_w8a8_grads_flow_to_adapters():
     assert np.isfinite(total) and total > 0
 
 
+def test_quantized_clip_tower_close_to_fp():
+    """CLIP tower with base_quant='w8a8' ~= fp tower (frozen inference path)."""
+    from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig, CLIPVisionTower
+
+    cfg = CLIPVisionConfig.tiny(image_size=56)
+    cfg_q = dataclasses.replace(cfg, base_quant="w8a8")
+    tower = CLIPVisionTower(cfg)
+    tower_q = CLIPVisionTower(cfg_q)
+
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.standard_normal((2, 56, 56, 3)) * 0.5, jnp.float32)
+    params = jax.tree.map(np.asarray, tower.init(jax.random.key(0), imgs)["params"])
+    params_q = quantize_tree(
+        params,
+        lambda p, w: any(t in p for t in
+                         ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")),
+    )
+    out = np.asarray(tower.apply({"params": jax.tree.map(jnp.asarray, params)}, imgs))
+    out_q = np.asarray(tower_q.apply({"params": jax.tree.map(jnp.asarray, params_q)}, imgs))
+    rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
+    assert rel < 0.06, rel
+
+
 def test_w8a8g8_adapter_grads_match_exact_backward():
     """Adapter gradients under the int8 backward ~= exact-backward gradients.
 
