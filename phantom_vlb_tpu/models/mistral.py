@@ -146,13 +146,23 @@ def _remat_policy(name: str):
 
 
 def _proj(cfg: MistralConfig, feats: int, name: str):
-    """Projection factory: plain Dense, or LoRADense when LoRA is on."""
+    """Projection factory: Dense, LoRADense (adapters), or FrozenQuantDense
+    (quantized base without adapters — the frozen-baseline regime)."""
     if cfg.lora is not None:
         return LoRADense(feats, cfg.lora, use_bias=False,
                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                          quantized=cfg.base_quant in ("int8", "w8a8", "w8a8g8"),
                          act_quant=cfg.base_quant in ("w8a8", "w8a8g8"),
                          grad_quant=(cfg.base_quant == "w8a8g8"), name=name)
+    if cfg.base_quant is not None:
+        from phantom_vlb_tpu.models.lora import FrozenQuantDense
+
+        return FrozenQuantDense(
+            feats, use_bias=False, name=name,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            act_quant=cfg.base_quant in ("w8a8", "w8a8g8"),
+            grad_quant=(cfg.base_quant == "w8a8g8"),
+        )
     return nn.Dense(feats, use_bias=False, name=name,
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 

@@ -177,6 +177,30 @@ def test_w8a8_grads_flow_to_adapters():
     assert np.isfinite(total) and total > 0
 
 
+def test_quantized_baseline_regime_close_to_fp():
+    """No-LoRA Mistral with base_quant (frozen-baseline regime) ~= fp model."""
+    cfg = MistralConfig.tiny(num_hidden_layers=2)
+    cfg_q = dataclasses.replace(cfg, base_quant="w8a8")
+
+    model = MistralModel(cfg)
+    model_q = MistralModel(cfg_q)
+    rng = np.random.default_rng(13)
+    embeds = jnp.asarray(rng.standard_normal((1, 8, cfg.hidden_size)) * 0.1, jnp.float32)
+
+    params = jax.tree.map(np.asarray, model.init(jax.random.key(0), embeds)["params"])
+    params_q = quantize_tree(
+        params,
+        lambda p, w: any(
+            t in p for t in ("q_proj", "k_proj", "v_proj", "o_proj",
+                             "gate_proj", "up_proj", "down_proj")
+        ),
+    )
+    out = np.asarray(model.apply({"params": jax.tree.map(jnp.asarray, params)}, embeds))
+    out_q = np.asarray(model_q.apply({"params": jax.tree.map(jnp.asarray, params_q)}, embeds))
+    rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
+    assert rel < 0.06, rel
+
+
 def test_quantized_clip_tower_close_to_fp():
     """CLIP tower with base_quant='w8a8' ~= fp tower (frozen inference path)."""
     from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig, CLIPVisionTower
