@@ -96,12 +96,21 @@ def build_model_config(m: Config) -> VLBConfig:
         dropout_rate=float(m.dropout_rate),
         freeze_backbone=bool(m.get("freeze_backbone", True)),
     )
+    # int8 MXU quantization of the frozen base: None | 'int8' | 'w8a8' |
+    # 'w8a8g8' (BENCHMARKS.md). Applies to both the LLM base and the CLIP
+    # tower; the trainable head/adapters stay bf16/f32.
+    base_quant = m.get("base_quant", None) or None
     preset = m.get("preset", "full")
     if preset == "tiny":
         cfg = VLBConfig.tiny(use_lora=use_lora)
         cfg = dataclasses.replace(
             cfg,
-            mistral=dataclasses.replace(cfg.mistral, lora=lora) if use_lora else cfg.mistral,
+            mistral=dataclasses.replace(
+                cfg.mistral,
+                lora=lora if use_lora else cfg.mistral.lora,
+                base_quant=base_quant,
+            ),
+            clip=dataclasses.replace(cfg.clip, base_quant=base_quant),
             **{k: v for k, v in common.items() if k != "num_target"},
             num_target=cfg.geometry.num_parcels,
         )
@@ -110,7 +119,9 @@ def build_model_config(m: Config) -> VLBConfig:
         cfg = VLBConfig.full(use_lora=use_lora)
         cfg = dataclasses.replace(
             cfg,
-            mistral=dataclasses.replace(cfg.mistral, lora=lora),
+            mistral=dataclasses.replace(cfg.mistral, lora=lora,
+                                        base_quant=base_quant),
+            clip=dataclasses.replace(cfg.clip, base_quant=base_quant),
             **common,
         )
         cfg.validate()
@@ -155,26 +166,48 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
         )
 
         sd = load_safetensors_dir(p)
+
+        def _maybe_quantize(tree, quant, targets):
+            # Quantized configs store kernel_q/kernel_scale; the converter
+            # yields fp 'kernel' trees, so quantize them before merging —
+            # otherwise _merge would silently keep the random-init int8 base.
+            if quant is None:
+                return tree
+            from phantom_vlb_tpu.ops.quant import quantize_tree
+
+            return quantize_tree(
+                tree, lambda path, w: any(t in path for t in targets)
+            )
+
         merged = dict(params)
         merged["model"] = _merge(
             params["model"],
-            convert_mistral(
-                sd,
-                model_cfg.mistral.num_hidden_layers,
-                lm_head=False,
-                scan=model_cfg.mistral.scan_layers,
-            )["model"],
+            _maybe_quantize(
+                convert_mistral(
+                    sd,
+                    model_cfg.mistral.num_hidden_layers,
+                    lm_head=False,
+                    scan=model_cfg.mistral.scan_layers,
+                )["model"],
+                model_cfg.mistral.base_quant,
+                ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"),
+            ),
         )
         if any(k.startswith("model.vision_tower") for k in sd):
             merged["vision_tower"] = _merge(
                 params["vision_tower"],
-                convert_clip_vision(
-                    sd,
-                    model_cfg.clip.effective_layers
-                    if model_cfg.clip.scan_layers
-                    else model_cfg.clip.num_hidden_layers,
-                    prefix="model.vision_tower.vision_tower.vision_model.",
-                    scan=model_cfg.clip.scan_layers,
+                _maybe_quantize(
+                    convert_clip_vision(
+                        sd,
+                        model_cfg.clip.effective_layers
+                        if model_cfg.clip.scan_layers
+                        else model_cfg.clip.num_hidden_layers,
+                        prefix="model.vision_tower.vision_tower.vision_model.",
+                        scan=model_cfg.clip.scan_layers,
+                    ),
+                    model_cfg.clip.base_quant,
+                    ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"),
                 ),
             )
         if any(k.startswith("model.mm_projector") for k in sd):

@@ -158,3 +158,43 @@ def test_safetensors_loading(tmp_path, scan):
         batch["vis_weights"], batch["lang_weights"],
     )
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_safetensors_loading_quantized(tmp_path):
+    """base_quant config: converted fp kernels are quantized before merge, and
+    the quantized model's output tracks the fp model's on the same weights."""
+    import dataclasses
+
+    cfg = _tiny_cfg(scan=False)
+    cfg_q = dataclasses.replace(
+        cfg,
+        mistral=dataclasses.replace(cfg.mistral, base_quant="w8a8"),
+        clip=dataclasses.replace(cfg.clip, base_quant="w8a8"),
+    )
+    model = VideoLLaMA2VLB(cfg)
+    model_q = VideoLLaMA2VLB(cfg_q)
+    params = init_model_params(model, cfg.geometry, cfg.mistral.vocab_size, 0)
+    params_q = init_model_params(model_q, cfg.geometry, cfg.mistral.vocab_size, 0)
+    sd = _make_checkpoint(tmp_path, cfg)
+
+    loaded = load_pretrained_params(cfg, str(tmp_path), params)
+    loaded_q = load_pretrained_params(cfg_q, str(tmp_path), params_q)
+
+    # The quantized layout got real (quantized) weights, not its random init.
+    q_layer = loaded_q["model"]["layers_0"]["self_attn"]["q_proj"]
+    assert "kernel_q" in q_layer and "kernel_scale" in q_layer
+    deq = np.asarray(q_layer["kernel_q"], np.float32) * np.asarray(q_layer["kernel_scale"])
+    ref = sd["model.layers.0.self_attn.q_proj.weight"].T
+    rel = np.abs(deq - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.01, rel
+
+    # Same forward inputs -> closely matching outputs (fp vs quantized).
+    from __graft_entry__ import _example_batch
+
+    batch = _example_batch(cfg.geometry, 1, cfg.mistral.vocab_size)
+    args = (batch["language"], batch["vision"], batch["padvals"],
+            batch["vis_weights"], batch["lang_weights"])
+    out = np.asarray(model.apply({"params": loaded}, *args)[0])
+    out_q = np.asarray(model_q.apply({"params": loaded_q}, *args)[0])
+    rel = np.abs(out - out_q).mean() / (np.abs(out).mean() + 1e-9)
+    assert rel < 0.1, rel
