@@ -51,6 +51,13 @@ def main(argv=None) -> int:
             messages, tokenize=False, add_generation_prompt=False
         )
 
+    # Fail loudly if this tokenizer/template pair breaks the +2/+4 joiner
+    # accounting the training weight mask hard-codes — silently mis-aligned
+    # masking_params would corrupt every HRF language weight downstream.
+    from phantom_vlb_tpu.data.text import validate_joiner_counts
+
+    validate_joiner_counts(tokenizer, chat_template)
+
     from phantom_vlb_tpu.data.extract import ExtractConfig, extract_features
     from phantom_vlb_tpu.data.video_reader import NativeVideoSource
 

@@ -124,13 +124,18 @@ class GrainBatchLoader:
         self._shuffle = shuffle
         self._worker_count = worker_count
         self._num_samples = len(LazyGrainSource(paths))
+        self._epoch = 0
 
     def __len__(self) -> int:
         return -(-self._num_samples // self.batch_size)
 
     def __iter__(self):
+        # Reshuffle per epoch (seed + epoch), matching the native BatchLoader
+        # and the reference torch DataLoader — a fixed seed would replay the
+        # identical sample order every epoch (ADVICE.md round 1).
+        epoch, self._epoch = self._epoch, self._epoch + 1
         loader = make_grain_loader(
-            self._paths, self.batch_size, seed=self._seed,
+            self._paths, self.batch_size, seed=self._seed + epoch,
             shuffle=self._shuffle, num_epochs=1,
             worker_count=self._worker_count,
         )

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "state_dict_to_numpy",
     "load_safetensors_dir",
+    "LazySafetensorsDir",
     "convert_mistral",
     "convert_clip_vision",
     "convert_stc_connector",
@@ -47,15 +48,58 @@ def load_safetensors_dir(path: str | Path, prefix: str = "") -> dict[str, np.nda
     return tensors
 
 
+class LazySafetensorsDir:
+    """Read-on-demand mapping over ``*.safetensors`` shards.
+
+    Stream-conversion support for full-width checkpoints (~14 GB at 7B):
+    tensors are read one at a time from the owning shard, so converting the
+    real VideoLLaMA2-7B shards peaks at (output tree + one tensor) of RAM
+    instead of (input + output).  Drop-in for the dict that
+    :func:`load_safetensors_dir` returns (the converters only use
+    ``__getitem__``/``__contains__``/iteration).
+    """
+
+    def __init__(self, path: str | Path, prefix: str = ""):
+        from safetensors import safe_open
+
+        self._prefix = prefix
+        self._index: dict[str, Path] = {}
+        for shard in sorted(Path(path).glob("*.safetensors")):
+            with safe_open(shard, framework="numpy") as f:
+                for key in f.keys():
+                    if key.startswith(prefix):
+                        self._index[key[len(prefix):]] = shard
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        with safe_open(self._index[key], framework="numpy") as f:
+            return f.get_tensor(self._prefix + key)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._index
+
+    def __iter__(self):
+        return iter(self._index)
+
+    def keys(self):
+        return self._index.keys()
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+
 def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
-def stack_layer_params(model_params: dict, num_layers: int) -> dict:
+def stack_layer_params(model_params: dict, num_layers: int, group: int = 1) -> dict:
     """Fold ``layers_0..N-1`` subtrees into a stacked ``layers_scan`` subtree.
 
     For ``MistralConfig(scan_layers=True)``: every leaf gains a leading
-    (num_layers,) axis.
+    (num_layers,) axis.  With ``group=G`` (``MistralConfig(scan_group=G)``)
+    the subtree instead holds ``sub_0..sub_{G-1}`` with leading
+    (num_layers/G,) axes, where ``sub_i`` stacks layers ``g*G + i``.
     """
 
     def stack(trees: list) -> dict:
@@ -72,7 +116,14 @@ def stack_layer_params(model_params: dict, num_layers: int) -> dict:
     rest = {
         k: v for k, v in model_params.items() if not k.startswith("layers_")
     }
-    rest["layers_scan"] = stack(layers)
+    if group > 1:
+        if num_layers % group:
+            raise ValueError(f"group={group} must divide num_layers={num_layers}")
+        rest["layers_scan"] = {
+            f"sub_{i}": stack(layers[i::group]) for i in range(group)
+        }
+    else:
+        rest["layers_scan"] = stack(layers)
     return rest
 
 
@@ -82,6 +133,7 @@ def convert_mistral(
     prefix: str = "model.",
     lm_head: bool = True,
     scan: bool = False,
+    scan_group: int = 1,
 ) -> dict:
     """HF ``MistralForCausalLM`` weights -> our ``MistralForCausalLM`` params."""
     model: dict = {
@@ -105,7 +157,7 @@ def convert_mistral(
             },
         }
     if scan:
-        model = stack_layer_params(model, num_layers)
+        model = stack_layer_params(model, num_layers, group=scan_group)
     if not lm_head:
         return {"model": model}
     return {
@@ -119,6 +171,7 @@ def convert_clip_vision(
     num_layers: int,
     prefix: str = "vision_model.",
     scan: bool = False,
+    scan_group: int = 1,
 ) -> dict:
     """HF ``CLIPVisionModel`` weights -> our ``CLIPVisionTower`` params."""
     def ln(key):
@@ -160,7 +213,7 @@ def convert_clip_vision(
             },
         }
     if scan:
-        params = stack_layer_params(params, num_layers)
+        params = stack_layer_params(params, num_layers, group=scan_group)
     return params
 
 

@@ -64,6 +64,12 @@ class MistralConfig:
     # Partial unrolling of the layer scan (lax.scan unroll): reduces per-step
     # scan overhead (~13 ms/layer measured) at modest compile-time cost.
     scan_unroll: int = 1
+    # Layer grouping for the scan: scan over L/G groups whose body runs G
+    # distinct layers under ONE remat. Divides both the scan-boundary
+    # activation-carry traffic (the 64x50 MB/step copy pairs seen in the
+    # round-1 xplane trace) and the per-iteration stacked-weight slicing by
+    # G, at the cost of holding G layers' backward residuals at once.
+    scan_group: int = 1
     # LoRA on every projection (the reference's find_all_linear_names targets,
     # litmodule.py:36-55); None disables.
     lora: LoRAConfig | None = None
@@ -265,6 +271,22 @@ class MistralScanBlock(nn.Module):
         return out, (x if self.collect_inputs else None)
 
 
+class MistralGroupBlock(nn.Module):
+    """Scan body running ``group`` distinct layers (param subtrees
+    ``sub_0..sub_{group-1}``, each stacked (L/group, ...) under the scan)."""
+
+    config: MistralConfig
+    group: int
+
+    @nn.compact
+    def __call__(self, x, rope, kv_mask=None, deterministic: bool = True):
+        for i in range(self.group):
+            x = MistralDecoderLayer(self.config, name=f"sub_{i}")(
+                x, rope, kv_mask, deterministic
+            )
+        return x, None
+
+
 class MistralModel(nn.Module):
     """Decoder stack over *embeddings* (the multimodal splice feeds embeds)."""
 
@@ -280,21 +302,43 @@ class MistralModel(nn.Module):
             # One compiled layer body iterated with lax.scan: 32x less HLO
             # than unrolling, the TPU-idiomatic big-model layout. Per-layer
             # params gain a leading (num_layers,) axis under 'layers_scan'.
-            body = MistralScanBlock
-            if cfg.remat:
-                body = nn.remat(
-                    MistralScanBlock,
-                    policy=_remat_policy(cfg.remat_policy),
-                    static_argnums=(4,),
-                )
-            self.layers_scan = nn.scan(
-                body,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.num_hidden_layers,
-                unroll=cfg.scan_unroll,
-            )(cfg, name="layers_scan")
+            if cfg.scan_group > 1:
+                if cfg.num_hidden_layers % cfg.scan_group:
+                    raise ValueError(
+                        f"scan_group={cfg.scan_group} must divide "
+                        f"num_hidden_layers={cfg.num_hidden_layers}"
+                    )
+                body = MistralGroupBlock
+                if cfg.remat:
+                    body = nn.remat(
+                        MistralGroupBlock,
+                        policy=_remat_policy(cfg.remat_policy),
+                        static_argnums=(4,),
+                    )
+                self.layers_scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    length=cfg.num_hidden_layers // cfg.scan_group,
+                    unroll=cfg.scan_unroll,
+                )(cfg, cfg.scan_group, name="layers_scan")
+            else:
+                body = MistralScanBlock
+                if cfg.remat:
+                    body = nn.remat(
+                        MistralScanBlock,
+                        policy=_remat_policy(cfg.remat_policy),
+                        static_argnums=(4,),
+                    )
+                self.layers_scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    length=cfg.num_hidden_layers,
+                    unroll=cfg.scan_unroll,
+                )(cfg, name="layers_scan")
         else:
             block = MistralDecoderLayer
             if cfg.remat:

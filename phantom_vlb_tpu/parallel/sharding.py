@@ -34,8 +34,12 @@ __all__ = ["DEFAULT_RULES", "infer_param_shardings", "shard_params", "batch_spec
 
 
 DEFAULT_RULES: list[tuple[str, P]] = [
-    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P("fsdp", "tensor")),
-    (r"(o_proj|down_proj)/kernel$", P("tensor", "fsdp")),
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel(_q)?$", P("fsdp", "tensor")),
+    (r"(o_proj|down_proj)/kernel(_q)?$", P("tensor", "fsdp")),
+    # Per-output-channel scales of quantized bases follow the kernel's output
+    # axis so scale and weight shards land on the same devices.
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel_scale$", P("tensor")),
+    (r"(o_proj|down_proj)/kernel_scale$", P("fsdp")),
     (r"lora_a$", P("fsdp", None)),
     (r"lora_b$", P(None, "tensor")),
     (r"embed_tokens/embedding$", P("fsdp", None)),

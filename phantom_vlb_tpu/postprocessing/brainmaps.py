@@ -8,9 +8,14 @@ project them back into the atlas volume (nilearn ``NiftiLabelsMasker
 the i-th nonzero label), exporting an interactive HTML viewer per validation
 epoch and optionally a ``.nii.gz``.
 
-nilearn/nibabel are replaced by the in-repo NIfTI I/O and an HTML slice-
-mosaic viewer (axial mosaic, seismic colormap, vmax=1.0 — the reference's
-``view_img`` settings).
+nilearn/nibabel are replaced by the in-repo NIfTI I/O and a self-contained
+HTML viewer.  The default viewer is interactive, nilearn-``view_img``-style
+(make_acc_brainmaps.py:59-67): three orthogonal planes with slice sliders and
+click-to-navigate crosshairs, seismic colormap with vmax=1.0, a colorbar, and
+an anatomical underlay derived from the atlas parcellation (the MNI template
+itself is not shipped).  The volume is embedded uint8-quantized (256 levels
+over [-vmax, vmax]) and rendered client-side — no external assets, works
+offline.  ``viewer='mosaic'`` keeps the lightweight static axial mosaic.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ class BrainmapConfig:
     out_path: str           # output prefix
     export_nii: bool = False
     vmax: float = 1.0
+    viewer: str = "interactive"   # 'interactive' (view_img-style) | 'mosaic'
 
 
 def labels_inverse_transform(atlas: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -101,6 +107,131 @@ def _mosaic_html(volume: np.ndarray, vmax: float, title: str) -> str:
     )
 
 
+_VIEWER_JS = r"""
+const DIMS = __DIMS__, ASPECT = __ASPECT__, VMAX = __VMAX__;
+const vol = Uint8Array.from(atob(VOL_B64), c => c.charCodeAt(0));
+const under = Uint8Array.from(atob(UNDER_B64), c => c.charCodeAt(0));
+const [NX, NY, NZ] = DIMS;
+let cross = [NX >> 1, NY >> 1, NZ >> 1];
+function vox(x, y, z) { return x + NX * (y + NY * z); }
+function seismic(t) {            // t in [-1, 1] -> [r, g, b]
+  const pos = Math.max(0, Math.min(t, 1)), neg = Math.max(0, Math.min(-t, 1));
+  const a = Math.abs(Math.max(-1, Math.min(t, 1)));
+  return [255 * (1 - neg), 255 * (1 - a), 255 * (1 - pos)];
+}
+// planes: [axisFixed, axisH, axisW]
+const PLANES = { ax: [2, 1, 0], co: [1, 2, 0], sa: [0, 2, 1] };
+function drawPlane(name) {
+  const [af, ah, aw] = PLANES[name];
+  const W = DIMS[aw], H = DIMS[ah], fixed = cross[af];
+  const cv = document.getElementById("cv_" + name);
+  const ctx = cv.getContext("2d");
+  const img = ctx.createImageData(W, H);
+  const idx = [0, 0, 0];
+  idx[af] = fixed;
+  for (let j = 0; j < H; j++) {
+    idx[ah] = H - 1 - j;                     // superior up / anterior up
+    for (let i = 0; i < W; i++) {
+      idx[aw] = i;
+      const v = vol[vox(idx[0], idx[1], idx[2])];
+      const u = under[vox(idx[0], idx[1], idx[2])];
+      let r = u, g = u, b = u;
+      if (v !== 128) {                        // 128 encodes exactly 0
+        const t = (v - 128) / 127.0;
+        [r, g, b] = seismic(t);
+      }
+      const o = 4 * (j * W + i);
+      img.data[o] = r; img.data[o + 1] = g; img.data[o + 2] = b;
+      img.data[o + 3] = 255;
+    }
+  }
+  ctx.putImageData(img, 0, 0);
+  // crosshair
+  ctx.strokeStyle = "rgba(120,220,120,0.8)";
+  ctx.beginPath();
+  const cx = cross[aw] + 0.5, cy = H - 1 - cross[ah] + 0.5;
+  ctx.moveTo(cx, 0); ctx.lineTo(cx, H);
+  ctx.moveTo(0, cy); ctx.lineTo(W, cy);
+  ctx.stroke();
+  document.getElementById("sl_" + name).value = fixed;
+  const [x, y, z] = cross;
+  document.getElementById("val").textContent =
+    "voxel (" + x + "," + y + "," + z + ")  value " +
+    ((vol[vox(x, y, z)] - 128) / 127 * VMAX).toFixed(3);
+}
+function drawAll() { for (const n in PLANES) drawPlane(n); }
+function setup(name) {
+  const [af, ah, aw] = PLANES[name];
+  const cv = document.getElementById("cv_" + name);
+  cv.width = DIMS[aw]; cv.height = DIMS[ah];
+  cv.style.width = (DIMS[aw] * ASPECT[aw] * 2.2) + "px";
+  cv.style.height = (DIMS[ah] * ASPECT[ah] * 2.2) + "px";
+  const sl = document.getElementById("sl_" + name);
+  sl.max = DIMS[af] - 1; sl.value = cross[af];
+  sl.oninput = () => { cross[af] = +sl.value; drawAll(); };
+  cv.onclick = (e) => {
+    const r = cv.getBoundingClientRect();
+    cross[aw] = Math.min(DIMS[aw] - 1, Math.max(0,
+      Math.round((e.clientX - r.left) / r.width * DIMS[aw] - 0.5)));
+    cross[ah] = Math.min(DIMS[ah] - 1, Math.max(0, DIMS[ah] - 1 -
+      Math.round((e.clientY - r.top) / r.height * DIMS[ah] - 0.5)));
+    drawAll();
+  };
+}
+for (const n in PLANES) setup(n);
+drawAll();
+"""
+
+
+def _interactive_html(
+    volume: np.ndarray, atlas: np.ndarray, affine: np.ndarray,
+    vmax: float, title: str,
+) -> str:
+    """nilearn-view_img-style three-plane viewer, fully self-contained."""
+    q = np.rint(np.clip(volume / vmax, -1.0, 1.0) * 127).astype(np.int16) + 128
+    # Reserve 128 for exactly-zero so background stays underlay-only.
+    q[(volume == 0)] = 128
+    vol_b64 = base64.b64encode(q.astype(np.uint8).tobytes(order="F")).decode()
+    # Anatomical-ish underlay: parcel-textured gray inside the brain.
+    under = np.where(atlas != 0, 55 + (atlas % 89) * 0.9, 0).astype(np.uint8)
+    under_b64 = base64.b64encode(under.tobytes(order="F")).decode()
+    aspect = [float(a) for a in np.abs(np.diag(affine)[:3])]
+    aspect = [a / max(aspect) for a in aspect]
+
+    js = (
+        _VIEWER_JS
+        .replace("__DIMS__", str(list(volume.shape)))
+        .replace("__ASPECT__", str(aspect))
+        .replace("__VMAX__", repr(float(vmax)))
+    )
+    grad = (
+        "linear-gradient(to right, rgb(0,0,255), rgb(255,255,255), rgb(255,0,0))"
+    )
+    panes = "".join(
+        f"<div class='pane'><div>{label}</div>"
+        f"<canvas id='cv_{n}'></canvas><br>"
+        f"<input type='range' id='sl_{n}' min='0' value='0'></div>"
+        for n, label in (("sa", "sagittal"), ("co", "coronal"), ("ax", "axial"))
+    )
+    return f"""<!doctype html><html><head><meta charset='utf-8'>
+<title>{title}</title><style>
+body {{ background:#111; color:#eee; font-family:sans-serif }}
+.pane {{ display:inline-block; margin:8px; text-align:center }}
+canvas {{ image-rendering:pixelated; background:#000; cursor:crosshair }}
+input[type=range] {{ width: 90% }}
+.cbar {{ width:260px; height:14px; background:{grad}; display:inline-block }}
+</style></head><body>
+<h3>{title}</h3>
+<div>{panes}</div>
+<div id='val' style='margin:6px'></div>
+<div>-{vmax} <span class='cbar'></span> +{vmax} &nbsp; (seismic, vmax={vmax})</div>
+<script>
+const VOL_B64 = "{vol_b64}";
+const UNDER_B64 = "{under_b64}";
+{js}
+</script></body></html>"""
+
+
 def make_brainmaps(config: BrainmapConfig) -> list[str]:
     """Returns the list of HTML files written (one per validation epoch)."""
     import pandas as pd
@@ -124,7 +255,13 @@ def make_brainmaps(config: BrainmapConfig) -> list[str]:
                 NiftiImage(volume, atlas_img.affine),
                 f"{config.out_path}_val-{i}.nii.gz",
             )
-        html = _mosaic_html(volume, config.vmax, f"val epoch {i} — r²")
+        if config.viewer == "interactive":
+            html = _interactive_html(
+                volume, atlas, atlas_img.affine, config.vmax,
+                f"val epoch {i} — r²",
+            )
+        else:
+            html = _mosaic_html(volume, config.vmax, f"val epoch {i} — r²")
         out = f"{config.out_path}_val-{i}.html"
         Path(out).write_text(html)
         written.append(out)

@@ -188,6 +188,7 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
                     model_cfg.mistral.num_hidden_layers,
                     lm_head=False,
                     scan=model_cfg.mistral.scan_layers,
+                    scan_group=model_cfg.mistral.scan_group,
                 )["model"],
                 model_cfg.mistral.base_quant,
                 ("q_proj", "k_proj", "v_proj", "o_proj",

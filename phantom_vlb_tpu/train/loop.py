@@ -50,7 +50,10 @@ class TrainLoopConfig:
     num_target: int = 1000
     checkpoint: bool = True
     # Failure detection (SURVEY.md §5.3: absent in the reference): abort
-    # after this many consecutive non-finite losses (0 disables).
+    # after this many consecutive non-finite losses (0 disables).  The
+    # streak is accumulated on-device EVERY step (no host sync) and checked
+    # at log cadence; non-finite updates are additionally never applied to
+    # the model state (train/step.py), so checkpoints cannot be poisoned.
     nan_abort_after: int = 3
 
 
@@ -84,7 +87,20 @@ class VLBTrainer:
         self.ckpt = (
             CheckpointManager(loop_config.output_dir) if loop_config.checkpoint else None
         )
-        self._rng = jax.random.key(loop_config.seed)
+        # 'rbg' keys: the per-step dropout masks (224 x 50M elements at the
+        # production geometry) cost ~1.3 s/step under threefry on v5e vs
+        # ~0.5 s under the hardware RBG (scripts/perf_probe.py, round 2).
+        # RBG is a counter-based PRNG — runs remain reproducible for a given
+        # seed; only the stream differs from threefry (BENCHMARKS.md).
+        self._rng = jax.random.key(loop_config.seed, impl="rbg")
+        # Device-side consecutive-non-finite-loss counter, updated every step
+        # without a host transfer (ADVICE.md round 1: checking only on log
+        # steps let up to nan_abort_after*log_every_n_steps bad updates
+        # through).
+        self._nan_streak = jnp.zeros((), jnp.int32)
+        self._bump_streak = jax.jit(
+            lambda streak, loss: jnp.where(jnp.isfinite(loss), 0, streak + 1)
+        )
         self.global_step = 0
         self.epoch = 0
         self.last_val_metrics: dict[str, float] = {}
@@ -174,13 +190,17 @@ class VLBTrainer:
                 if cfg.val_check_interval
                 else 0
             )
-            nan_streak = 0
             window_t0, window_steps = time.perf_counter(), 0
             for i, batch in enumerate(train_loader):
                 dev_batch = self._put(batch)
                 self.state, metrics = self.train_step(
                     self.state, self.frozen, dev_batch, self._next_rng()
                 )
+                if cfg.nan_abort_after:
+                    # Tiny on-device op; counts EVERY step, synced at log time.
+                    self._nan_streak = self._bump_streak(
+                        self._nan_streak, metrics["brain_loss"]
+                    )
                 self.global_step += 1
                 window_steps += 1
                 if self.global_step % cfg.log_every_n_steps == 0:
@@ -196,13 +216,15 @@ class VLBTrainer:
                         "lr-AdamW": float(self._schedule(self.global_step)),
                     })
                     if cfg.nan_abort_after:
-                        nan_streak = 0 if np.isfinite(loss) else nan_streak + 1
-                        if nan_streak >= cfg.nan_abort_after:
+                        streak = int(self._nan_streak)
+                        if streak >= cfg.nan_abort_after:
                             raise FloatingPointError(
-                                f"train/brain_loss non-finite for "
-                                f"{nan_streak} consecutive logs at step "
-                                f"{self.global_step}; aborting (last good "
-                                f"checkpoint: {self.ckpt.best_path if self.ckpt else None})"
+                                f"train/brain_loss non-finite for {streak} "
+                                f"consecutive steps at step "
+                                f"{self.global_step}; aborting (model state "
+                                "was not updated by the non-finite steps; "
+                                "last good checkpoint: "
+                                f"{self.ckpt.best_path if self.ckpt else None})"
                             )
                 if val_every and (i + 1) % val_every == 0 and (i + 1) < n_batches:
                     self.validate(val_loader)

@@ -36,10 +36,18 @@ class OptimConfig:
 
 def make_schedule(config: OptimConfig) -> optax.Schedule:
     if config.lr_scheduler_name == "CosineAnnealingLR":
-        # torch: eta_t = lr * (1 + cos(pi * t / T_max)) / 2  (eta_min = 0)
-        return optax.cosine_decay_schedule(
-            init_value=config.lr, decay_steps=config.t_max, alpha=0.0
-        )
+        # torch closed form: eta_t = lr * (1 + cos(pi * t / T_max)) / 2
+        # (eta_min = 0).  Deliberately NOT optax.cosine_decay_schedule, which
+        # clamps at 0 past T_max — torch's schedule is periodic and raises the
+        # LR again beyond T_max (litmodule.py:365-371 steps it per-step with
+        # no horizon guard), so runs longer than t_max steps must match.
+        import jax.numpy as jnp
+
+        def schedule(step):
+            t = jnp.asarray(step, jnp.float32)
+            return config.lr * (1.0 + jnp.cos(jnp.pi * t / config.t_max)) / 2.0
+
+        return schedule
     if config.lr_scheduler_name in ("constant", "ConstantLR"):
         return optax.constant_schedule(config.lr)
     raise ValueError(f"unknown scheduler {config.lr_scheduler_name!r}")

@@ -126,8 +126,17 @@ def make_train_step(
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # Non-finite losses never touch the state (so 'last'/'best'
+        # checkpoints cannot be NaN-poisoned, ADVICE.md round 1); the loop
+        # still aborts after a streak of them (train/loop.py).
+        finite = jnp.isfinite(metrics["brain_loss"])
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
         new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
+            step=state.step + finite.astype(state.step.dtype),
+            params=keep(new_params, state.params),
+            opt_state=keep(new_opt_state, state.opt_state),
         )
         return new_state, metrics
 

@@ -79,3 +79,38 @@ def test_make_brainmaps_end_to_end(tmp_path):
     # nii export: voxel for ROI 3 in epoch 1 = (0.1*3*2)^2.
     img = load_nifti(tmp_path / "map_val-1.nii.gz")
     np.testing.assert_allclose(img.data[3, 3, 3], (0.6) ** 2, rtol=1e-5)
+
+
+def test_interactive_viewer_payload(tmp_path):
+    """The view_img-style HTML embeds a decodable, value-faithful volume."""
+    import base64
+    import re
+
+    from phantom_vlb_tpu.postprocessing.brainmaps import _interactive_html
+
+    atlas = np.zeros((5, 6, 4), np.int32)
+    atlas[1, 2, 3] = 7
+    atlas[2, 3, 1] = 9
+    volume = np.zeros((5, 6, 4), np.float32)
+    volume[1, 2, 3] = 0.64   # r^2 value
+    volume[2, 3, 1] = -0.5
+    html = _interactive_html(volume, atlas, np.diag([2.0, 2.0, 3.0, 1.0]), 1.0,
+                             "test map")
+    # Three planes with sliders and canvases, a colorbar, the title.
+    for n in ("ax", "co", "sa"):
+        assert f"cv_{n}" in html and f"sl_{n}" in html
+    assert "cbar" in html and "test map" in html
+
+    vol_b64 = re.search(r'VOL_B64 = "([^"]*)"', html).group(1)
+    q = np.frombuffer(base64.b64decode(vol_b64), np.uint8).reshape(
+        volume.shape, order="F"
+    )
+    # 128 encodes exactly zero; values round-trip within quantization step.
+    assert q[0, 0, 0] == 128
+    assert abs((int(q[1, 2, 3]) - 128) / 127.0 - 0.64) < 1 / 127
+    assert abs((int(q[2, 3, 1]) - 128) / 127.0 + 0.5) < 1 / 127
+    under_b64 = re.search(r'UNDER_B64 = "([^"]*)"', html).group(1)
+    u = np.frombuffer(base64.b64decode(under_b64), np.uint8).reshape(
+        volume.shape, order="F"
+    )
+    assert u[0, 0, 0] == 0 and u[1, 2, 3] > 0  # underlay only inside brain
