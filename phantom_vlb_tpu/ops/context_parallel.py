@@ -169,6 +169,7 @@ def ring_flash_attention(
 
 def _make_ring_flash(env, causal, sm_scale, axis, interpret):
     from phantom_vlb_tpu.ops.flash_attention import (
+        MASK_VALUE,
         _bwd_impl,
         _pad_to,
         _pick_kv_block,
@@ -224,8 +225,9 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
             src = (idx - step) % n_shards
             offset = ((idx - src) * s_loc).astype(jnp.int32)
             maskp = _pad_to(m_blk[:, None, :], skv_p, 2)
+            bias = jnp.where(maskp > 0, 0.0, MASK_VALUE).astype(jnp.float32)
             dq_b, dk_b, dv_b = _bwd_impl(
-                q_loc, k_blk, v_blk, maskp, o_loc, lse_loc, do_loc,
+                q_loc, k_blk, v_blk, bias, True, o_loc, lse_loc, do_loc,
                 causal, sm_scale, bq, bk,
                 interpret if interpret is not None
                 else jax.default_backend() != "tpu",
@@ -279,4 +281,7 @@ def _make_ring_flash(env, causal, sm_scale, axis, interpret):
         return dq, dk, dv, dmask
 
     rf.defvjp(rf_fwd, rf_bwd)
+    # Exposed for the fused-RDMA forward (ops/ring_fused.py), which reuses
+    # this exact per-chunk backward against its own saved (out, lse).
+    rf.bwd_sm = bwd_sm
     return rf

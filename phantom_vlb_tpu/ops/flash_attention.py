@@ -15,9 +15,14 @@ Design (see /opt/skills/guides/boom_attention_tricks.md):
   dq (grid over q tiles, loop kv) and dk/dv (grid over kv tiles, loop
   group x q tiles) — so the (S, S) score matrix is never materialized.
 
-``impl='xla'`` selects a pure-XLA reference implementation (used in tests and
-as the CPU fallback); ``impl='pallas'`` the kernels; ``'auto'`` picks by
-backend.
+VPU-economy details (round 2; the kernels are softmax/mask bound, not MXU
+bound, at the VLB geometry):
+- q is pre-scaled by ``sm_scale`` outside the kernels (one pass over Q
+  instead of one multiply over every (bq, bk) score tile);
+- the kv mask enters as a PRECOMPUTED additive f32 bias row (0 / MASK_VALUE),
+  one add per tile instead of compare+and+select;
+- the causal mask compares 1D broadcast iotas ((bq,1) vs (1,bk)) — one
+  fused compare-select pass per tile instead of two full 2D iotas + compares.
 """
 
 from __future__ import annotations
@@ -66,10 +71,17 @@ def xla_attention(q, k, v, *, causal=True, sm_scale=None, kv_mask=None):
 # ---------------------------------------------------------------------------
 # Pallas kernels.
 # ---------------------------------------------------------------------------
+def _causal_add(s, qi, ki, offset, bq, bk):
+    """s + (MASK_VALUE where col > row + offset), via 1D broadcast iotas."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + (qi * bq + offset)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + (ki * bk)
+    return s + jnp.where(col > row, MASK_VALUE, 0.0)
+
+
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, offset_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, bias_ref, offset_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, causal, sm_scale, nk, bq, bk,
+    *, causal, has_bias, nk, bq, bk,
 ):
     qi, ki = pl.program_id(2), pl.program_id(3)
     offset = offset_ref[0]
@@ -86,24 +98,15 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]
+        q = q_ref[0, 0]          # pre-scaled by sm_scale
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * sm_scale
-
-        mask = None
+        if has_bias:
+            s = s + bias_ref[0, 0:1, :]          # (1, bk) additive bias
         if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
-            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row + offset
-        if mask_ref is not None:
-            kvm = mask_ref[0, 0:1, :] > 0  # (1, bk)
-            kvm = jnp.broadcast_to(kvm, (bq, bk))
-            mask = kvm if mask is None else (mask & kvm)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+            s = _causal_add(s, qi, ki, offset, bq, bk)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
@@ -129,9 +132,9 @@ def _fwd_kernel(
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, offset_ref, do_ref, lse_ref, di_ref, dq_ref,
+    q_ref, k_ref, v_ref, bias_ref, offset_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_scr,
-    *, causal, sm_scale, nk, bq, bk,
+    *, causal, has_bias, sm_scale, nk, bq, bk,
 ):
     qi, ki = pl.program_id(2), pl.program_id(3)
     offset = offset_ref[0]
@@ -146,7 +149,7 @@ def _dq_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]
+        q = q_ref[0, 0]          # pre-scaled
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
@@ -155,18 +158,11 @@ def _dq_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-
-        mask = None
+        )
+        if has_bias:
+            s = s + bias_ref[0, 0:1, :]
         if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
-            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row + offset
-        if mask_ref is not None:
-            kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
-            mask = kvm if mask is None else (mask & kvm)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+            s = _causal_add(s, qi, ki, offset, bq, bk)
 
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -174,20 +170,21 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
-        dq_scr[...] += sm_scale * jax.lax.dot(
+        dq_scr[...] += jax.lax.dot(
             ds.astype(q.dtype), k, preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == nk - 1)
     def _():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        # d(s)/d(q_unscaled) carries sm_scale once, applied in the epilogue.
+        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, offset_ref, do_ref, lse_ref, di_ref,
+    q_ref, k_ref, v_ref, bias_ref, offset_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, causal, sm_scale, group, nq, bq, bk,
+    *, causal, has_bias, group, nq, bq, bk,
 ):
     # grid: (B, Hkv, nk, group, nq)
     ki, gi, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
@@ -204,7 +201,7 @@ def _dkv_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]
+        q = q_ref[0, 0]          # pre-scaled: dk = ds^T @ q_scaled needs no factor
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
@@ -213,18 +210,11 @@ def _dkv_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-
-        mask = None
+        )
+        if has_bias:
+            s = s + bias_ref[0, 0:1, :]
         if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
-            col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
-            mask = col <= row + offset
-        if mask_ref is not None:
-            kvm = jnp.broadcast_to(mask_ref[0, 0:1, :] > 0, (bq, bk))
-            mask = kvm if mask is None else (mask & kvm)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, MASK_VALUE)
+            s = _causal_add(s, qi, ki, offset, bq, bk)
 
         p = jnp.exp(s - lse)                                   # (bq, bk)
         dv_scr[...] += jax.lax.dot_general(
@@ -236,7 +226,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)                                     # (bq, bk)
-        dk_scr[...] += sm_scale * jax.lax.dot_general(
+        dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -259,6 +249,17 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _kv_bias(kv_mask, b, skv, skv_p):
+    """(B, 1, skv_p) additive f32 bias (0 valid / MASK_VALUE masked), or None."""
+    if kv_mask is None and skv_p == skv:
+        return None
+    if kv_mask is None:
+        maskp = jnp.ones((b, 1, skv_p), jnp.int32).at[:, :, skv:].set(0)
+    else:
+        maskp = _pad_to(kv_mask.astype(jnp.int32)[:, None, :], skv_p, 2)
+    return jnp.where(maskp > 0, 0.0, MASK_VALUE).astype(jnp.float32)
+
+
 def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
@@ -267,19 +268,17 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
     nk = pl.cdiv(skv, bk)
     sq_p, skv_p = nq * bq, nk * bk
 
-    qp = _pad_to(q, sq_p, 2)
+    qp = _pad_to(q, sq_p, 2) * jnp.asarray(sm_scale, q.dtype)
     kp = _pad_to(k, skv_p, 2)
     vp = _pad_to(v, skv_p, 2)
-    if kv_mask is None:
-        maskp = jnp.ones((b, 1, skv_p), jnp.int32)
-        if skv_p != skv:
-            maskp = maskp.at[:, :, skv:].set(0)
-    else:
-        maskp = _pad_to(kv_mask.astype(jnp.int32)[:, None, :], skv_p, 2)
+    bias = _kv_bias(kv_mask, b, skv, skv_p)
+    has_bias = bias is not None
+    if not has_bias:
+        bias = jnp.zeros((b, 1, skv_p), jnp.float32)
 
     offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk,
+        _fwd_kernel, causal=causal, has_bias=has_bias, nk=nk, bq=bq, bk=bk,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -308,11 +307,14 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, maskp, offset_arr)
-    return out[:, :, :sq], lse[:, :, :sq, 0], maskp
+    )(qp, kp, vp, bias, offset_arr)
+    return out[:, :, :sq], lse[:, :, :sq, 0], bias, has_bias
 
 
-def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret, offset=0):
+def _bwd_impl(
+    q, k, v, bias, has_bias, o, lse, do, causal, sm_scale, bq, bk,
+    interpret, offset=0,
+):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -320,7 +322,7 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
     nk = pl.cdiv(skv, bk)
     sq_p, skv_p = nq * bq, nk * bk
 
-    qp = _pad_to(q, sq_p, 2)
+    qp = _pad_to(q, sq_p, 2) * jnp.asarray(sm_scale, q.dtype)
     kp = _pad_to(k, skv_p, 2)
     vp = _pad_to(v, skv_p, 2)
     dop = _pad_to(do, sq_p, 2)
@@ -333,7 +335,8 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
 
     offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
     dq_kernel = functools.partial(
-        _dq_kernel, causal=causal, sm_scale=sm_scale, nk=nk, bq=bq, bk=bk,
+        _dq_kernel, causal=causal, has_bias=has_bias, sm_scale=sm_scale,
+        nk=nk, bq=bq, bk=bk,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -355,10 +358,10 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, kv_maskp, offset_arr, dop, lsep, di)
+    )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
 
     dkv_kernel = functools.partial(
-        _dkv_kernel, causal=causal, sm_scale=sm_scale,
+        _dkv_kernel, causal=causal, has_bias=has_bias,
         group=group, nq=nq, bq=bq, bk=bk,
     )
     dk, dv = pl.pallas_call(
@@ -398,30 +401,31 @@ def _bwd_impl(q, k, v, kv_maskp, o, lse, do, causal, sm_scale, bq, bk, interpret
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, kv_maskp, offset_arr, dop, lsep, di)
+    )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
 
     return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash(q, k, v, kv_mask, offset, causal, sm_scale, bq, bk, interpret):
-    out, _, _ = _fwd_impl(
+    out, _, _, _ = _fwd_impl(
         q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset
     )
     return out
 
 
 def _flash_fwd(q, k, v, kv_mask, offset, causal, sm_scale, bq, bk, interpret):
-    out, lse, maskp = _fwd_impl(
+    out, lse, bias, has_bias = _fwd_impl(
         q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset
     )
-    return out, (q, k, v, maskp, offset, out, lse)
+    return out, (q, k, v, bias, has_bias, offset, out, lse)
 
 
 def _flash_bwd(causal, sm_scale, bq, bk, interpret, res, do):
-    q, k, v, maskp, offset, out, lse = res
+    q, k, v, bias, has_bias, offset, out, lse = res
     dq, dk, dv = _bwd_impl(
-        q, k, v, maskp, out, lse, do, causal, sm_scale, bq, bk, interpret, offset
+        q, k, v, bias, has_bias, out, lse, do, causal, sm_scale, bq, bk,
+        interpret, offset,
     )
     return dq, dk, dv, None, None
 
@@ -449,7 +453,7 @@ def attention_with_stats(
         interpret = jax.default_backend() != "tpu"
     bq = min(block_q, max(q.shape[2], 8))
     bk = _pick_kv_block(k.shape[2], block_kv)
-    out, lse, _ = _fwd_impl(
+    out, lse, _, _ = _fwd_impl(
         q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, causal_offset
     )
     return out, lse
