@@ -66,11 +66,14 @@ def build(layers: int, batch_size: int, quant: str | None = None):
         mistral=MistralConfig(
             num_hidden_layers=layers,
             param_dtype=jnp.bfloat16,
-            lora=LoRAConfig(),
+            lora=LoRAConfig(
+                shared_dropout=os.environ.get("VLB_BENCH_SHARED_DROPOUT", "0") == "1",
+            ),
             scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,
             remat_policy=os.environ.get("VLB_BENCH_REMAT", "nothing"),
             scan_unroll=int(os.environ.get("VLB_BENCH_UNROLL", "1")),
+            scan_group=int(os.environ.get("VLB_BENCH_GROUP", "1")),
         ),
         freeze_backbone=False,
     )

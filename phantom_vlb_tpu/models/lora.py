@@ -38,6 +38,14 @@ class LoRAConfig:
     rank: int = 16          # lora.yaml:28 (r=16)
     alpha: float = 32.0     # lora.yaml:29
     dropout: float = 0.1    # lora.yaml:30
+    # peft draws an INDEPENDENT dropout mask per target projection; with
+    # shared_dropout the projections reading the same activation (q/k/v;
+    # gate/up) reuse one mask. Mask generation at the production geometry
+    # costs ~80 ms/step/mask-site even under the rbg PRNG, so this trades a
+    # slightly different regularization-noise correlation (each adapter
+    # still sees unbiased dropout) for ~3/7 of that cost. Default off =
+    # peft-faithful.
+    shared_dropout: bool = False
 
     @property
     def scaling(self) -> float:
@@ -61,7 +69,9 @@ class LoRADense(nn.Module):
     grad_quant: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, adapter_x=None):
+        """``adapter_x``: pre-dropped adapter input (shared_dropout mode) —
+        the internal dropout is skipped when it is provided."""
         in_features = x.shape[-1]
         if self.quantized:
             kernel_q = self.param(
@@ -117,9 +127,12 @@ class LoRADense(nn.Module):
             (self.lora.rank, self.features),
             self.param_dtype,
         )
-        z = x
-        if self.lora.dropout and not deterministic:
-            z = nn.Dropout(self.lora.dropout, deterministic=False)(z)
+        if adapter_x is not None:
+            z = adapter_x
+        else:
+            z = x
+            if self.lora.dropout and not deterministic:
+                z = nn.Dropout(self.lora.dropout, deterministic=False)(z)
         z = (z @ a.astype(self.dtype)) @ b.astype(self.dtype)
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 

@@ -173,10 +173,22 @@ def _proj(cfg: MistralConfig, feats: int, name: str):
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
 
-def _call_proj(cfg: MistralConfig, proj, x, deterministic):
+def _call_proj(cfg: MistralConfig, proj, x, deterministic, adapter_x=None):
     if cfg.lora is not None:
-        return proj(x, deterministic)
+        return proj(x, deterministic, adapter_x)
     return proj(x)
+
+
+def _shared_adapter_input(cfg: MistralConfig, x, deterministic):
+    """One dropout mask for all adapters reading ``x`` (shared_dropout)."""
+    if (
+        cfg.lora is not None
+        and cfg.lora.shared_dropout
+        and cfg.lora.dropout
+        and not deterministic
+    ):
+        return nn.Dropout(cfg.lora.dropout, deterministic=False)(x)
+    return None
 
 
 class MistralAttention(nn.Module):
@@ -188,12 +200,14 @@ class MistralAttention(nn.Module):
         b, s, _ = x.shape
         h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-        def proj(feats, name, y):
-            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic)
+        def proj(feats, name, y, adapter_y=None):
+            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic,
+                              adapter_y)
 
-        q = proj(h * d, "q_proj", x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
-        k = proj(hkv * d, "k_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
-        v = proj(hkv * d, "v_proj", x).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        x_adapter = _shared_adapter_input(cfg, x, deterministic)
+        q = proj(h * d, "q_proj", x, x_adapter).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = proj(hkv * d, "k_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        v = proj(hkv * d, "v_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
 
         q = apply_rope(q, rope, cfg.rope_theta)
         k = apply_rope(k, rope, cfg.rope_theta)
@@ -226,11 +240,13 @@ class MistralMLP(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
 
-        def proj(feats, name, y):
-            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic)
+        def proj(feats, name, y, adapter_y=None):
+            return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic,
+                              adapter_y)
 
-        gate = proj(cfg.intermediate_size, "gate_proj", x)
-        up = proj(cfg.intermediate_size, "up_proj", x)
+        x_adapter = _shared_adapter_input(cfg, x, deterministic)
+        gate = proj(cfg.intermediate_size, "gate_proj", x, x_adapter)
+        up = proj(cfg.intermediate_size, "up_proj", x, x_adapter)
         return proj(cfg.hidden_size, "down_proj", nn.silu(gate) * up)
 
 

@@ -89,6 +89,7 @@ def build_model_config(m: Config) -> VLBConfig:
             rank=int(m.lora_r),
             alpha=float(m.lora_alpha),
             dropout=float(m.lora_dropout),
+            shared_dropout=bool(m.get("lora_shared_dropout", False)),
         )
     common = dict(
         num_target=int(m.num_target),
@@ -179,6 +180,16 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
                 tree, lambda path, w: any(t in path for t in targets)
             )
 
+        # Structural tripwire (VERDICT round 1: the STC internals are a
+        # reconstruction): any checkpoint key under mm_projector that the
+        # converter does not consume means a wrong architecture assumption
+        # (e.g. BatchNorm running stats instead of LayerNorm2d, different
+        # SE placement) — fail loudly instead of silently dropping it.
+        _assert_keys_consumed(
+            sd, "model.mm_projector.",
+            _stc_expected_keys(model_cfg.stc),
+        )
+
         merged = dict(params)
         merged["model"] = _merge(
             params["model"],
@@ -220,12 +231,62 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
     raise FileNotFoundError(f"no checkpoint found at {checkpoint_path}")
 
 
+def _stc_expected_keys(stc_cfg) -> set[str]:
+    """Exact key set convert_stc_connector consumes (relative to its prefix)."""
+    keys = set()
+    # A block carries a 1x1-conv shortcut only when its in/out widths differ
+    # (timm Bottleneck downsample rule): stage s1's first block only.
+    downsample_blocks = (
+        {"s1.b1"} if stc_cfg.encoder_hidden_size != stc_cfg.hidden_size else set()
+    )
+    for stage in ("s1", "s2"):
+        for j in range(stc_cfg.depth):
+            p = f"{stage}.b{j + 1}"
+            for conv in ("conv1", "conv2", "conv3"):
+                keys |= {f"{p}.{conv}.conv.weight", f"{p}.{conv}.bn.weight",
+                         f"{p}.{conv}.bn.bias"}
+            keys |= {f"{p}.se.fc1.weight", f"{p}.se.fc1.bias",
+                     f"{p}.se.fc2.weight", f"{p}.se.fc2.bias"}
+            if p in downsample_blocks:
+                keys |= {f"{p}.downsample.conv.weight",
+                         f"{p}.downsample.bn.weight", f"{p}.downsample.bn.bias"}
+    keys |= {"sampler.0.weight", "sampler.0.bias"}
+    keys |= {"readout.0.weight", "readout.0.bias"}
+    for i in range(1, stc_cfg.mlp_depth):
+        keys |= {f"readout.{2 * i}.weight", f"readout.{2 * i}.bias"}
+    return keys
+
+
+def _assert_keys_consumed(sd, prefix: str, expected: set[str]) -> None:
+    present = {k[len(prefix):] for k in sd if k.startswith(prefix)}
+    if not present:
+        return  # subtree absent from the checkpoint (partial shards)
+    unconsumed = present - expected
+    missing = expected - present
+    if unconsumed or missing:
+        raise ValueError(
+            f"checkpoint/{prefix}* does not match the reconstructed "
+            f"architecture: unconsumed keys {sorted(unconsumed)[:8]}..., "
+            f"missing keys {sorted(missing)[:8]}... — the STC/connector "
+            "reconstruction assumptions (DEVIATIONS.md) do not hold for "
+            "this checkpoint."
+        )
+
+
 def _merge(base: Any, override: Any) -> Any:
     if isinstance(base, dict) and isinstance(override, dict):
         return {
             k: _merge(v, override[k]) if k in override else v
             for k, v in base.items()
         }
+    base_shape = tuple(getattr(base, "shape", ()))
+    over_shape = tuple(np.shape(override))
+    if base_shape != over_shape:
+        raise ValueError(
+            f"pretrained weight shape {over_shape} does not match the "
+            f"initialized parameter shape {base_shape} — architecture "
+            "reconstruction mismatch."
+        )
     return jnp.asarray(override, dtype=getattr(base, "dtype", None))
 
 
