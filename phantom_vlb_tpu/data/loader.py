@@ -148,7 +148,9 @@ def _collate(samples: list[LazySample], batch_size: int) -> Batch:
 
     return Batch(
         timeseries=stack("timeseries", np.float32),
-        vision=stack("vision", np.float32),
+        # Pixel samples are f32; vision-token-cache samples are bf16 (V, E)
+        # tokens (data/token_cache.py) — keep their dtype through collation.
+        vision=stack("vision", samples[0].vision.dtype),
         language=stack("language", np.int32),
         vis_weights=stack("vis_weights", np.float32),
         lang_weights=stack("lang_weights", np.float32),

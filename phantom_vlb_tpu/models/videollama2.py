@@ -163,7 +163,15 @@ class VideoLLaMA2VLB(nn.Module):
         return jax.lax.stop_gradient(tokens)                 # frozen (peft)
 
     def backbone(self, language, video, deterministic: bool = True):
-        """Returns (last_hidden (B, S, E), valid_mask (B, S))."""
+        """Returns (last_hidden (B, S, E), valid_mask (B, S)).
+
+        ``video`` is either raw frames (B, T, 3, H, W) or PRECOMPUTED video
+        tokens (B, num_vis_tokens, E) from the vision-token cache
+        (data/token_cache.py).  Both reference regimes freeze the vision
+        tower AND mm_projector (litmodule.py:86-99 + peft), so the tokens
+        are a pure function of the clip; the rank-3 path skips the frozen
+        CLIP+STC forward entirely.
+        """
         cfg = self.config
         ids = language.astype(jnp.int32)
         safe_ids = jnp.where(ids == VIDEO_TOKEN_ID, 0, ids)
@@ -172,7 +180,12 @@ class VideoLLaMA2VLB(nn.Module):
             # peft freezes embed_tokens; cutting here avoids materializing a
             # (vocab, hidden) gradient buffer (~512 MB at 7B scale).
             text_embeds = jax.lax.stop_gradient(text_embeds)
-        video_tokens = self.encode_video(video)
+        if video.ndim == 3:
+            video_tokens = jax.lax.stop_gradient(
+                video.astype(cfg.mistral.dtype)
+            )
+        else:
+            video_tokens = self.encode_video(video)
         embeds, valid = splice_multimodal(text_embeds, ids, video_tokens)
         # The reference pools hidden_states[-1] == the post-final-norm output
         # (litmodule.py:240,245), which is exactly what the default forward

@@ -8,6 +8,7 @@ the trainer (callbacks/loggers equivalent), fit.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -315,6 +316,24 @@ def build_trainer(config: Config):
         )
     )
     params, _ = shard_params(params, env)
+
+    # Vision-token cache (data/token_cache.py): precompute the frozen
+    # CLIP+STC forward once per clip; epochs then read (V, E) bf16 tokens.
+    cache_dir = config.datamodule.get("vision_token_cache")
+    if cache_dir:
+        if str(config.datamodule.get("loader", "native")) == "grain":
+            raise ValueError(
+                "vision_token_cache requires the native loader "
+                "(datamodule.loader=grain builds its own dataset views)"
+            )
+        from phantom_vlb_tpu.data.token_cache import attach_token_cache
+
+        attach_token_cache(
+            model, params, [train_loader, val_loader],
+            os.path.expandvars(str(cache_dir)),
+            batch_size=int(config.datamodule.get("batch_size", 6)),
+            log=lambda m: print(f"[build] {m}"),
+        )
 
     labels = trainable_labels(params, trainable_predicate)
     optim = config.optim

@@ -200,7 +200,7 @@ def probe_step(trace=False):
     import bench
 
     config, state, frozen, step, batch = bench.build(32, 6, "w8a8g8")
-    rng = jax.random.key(1)
+    rng = jax.random.key(1, impl="rbg")  # match the trainer/bench PRNG
     state, metrics = step(state, frozen, batch, rng)
     _ = float(metrics["brain_loss"])
     dt = None

@@ -72,6 +72,8 @@ def test_stage3_train_cli(pipeline_dir):
         "run_name=e2e",
         "mesh.fsdp=4",
         "mesh.tensor=2",
+        # Exercise the vision-token-cache wiring (builder.py) end to end.
+        f"datamodule.vision_token_cache={pipeline_dir / 'tok_cache'}",
     ])
     assert rc == 0
     csvs = glob.glob(str(pipeline_dir / "results" / "e2e" / "*" / "metrics.csv"))

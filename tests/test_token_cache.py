@@ -1,0 +1,154 @@
+"""Vision-token cache: exact equality with the pixel forward + loader wiring.
+
+Both reference regimes freeze the vision tower and mm_projector
+(litmodule.py:86-99 + peft keyword exclusion at :45), so the cached tokens
+must reproduce the pixel path bit-for-bit (bf16 storage is lossless uint16
+bit patterns) and the wrapped loader must feed the exact same model inputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import pytest
+
+from phantom_vlb_tpu.data.lazyload_build import LazyloadBuildConfig, build_lazyload_dsets
+from phantom_vlb_tpu.data.loader import BatchLoader, LazyDataset
+from phantom_vlb_tpu.data.synthetic import (
+    TEST_GEOMETRY,
+    write_synthetic_bold_file,
+    write_synthetic_features_file,
+)
+from phantom_vlb_tpu.data.token_cache import (
+    TokenCachedDataset,
+    attach_token_cache,
+    build_token_cache,
+)
+from phantom_vlb_tpu.models.videollama2 import VLBConfig, VideoLLaMA2VLB
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tokcache")
+    eps = {"s01e01a": 8, "s01e01b": 7}
+    write_synthetic_features_file(root / "f.h5", eps, TEST_GEOMETRY, seed=0)
+    write_synthetic_bold_file(root / "b.h5", eps, TEST_GEOMETRY, seed=1)
+    (root / "lazy").mkdir()
+    paths = build_lazyload_dsets(
+        LazyloadBuildConfig(
+            str(root / "f.h5"), str(root / "b.h5"), str(root / "lazy"),
+            "sub-01", "s1", 1, TEST_GEOMETRY,
+        )
+    )
+    cfg = VLBConfig.tiny(use_lora=True)
+    model = VideoLLaMA2VLB(cfg)
+    ds = LazyDataset(paths)
+    s = ds[0]
+    params = model.init(
+        jax.random.key(0),
+        s.language[None], jnp.asarray(s.vision[None], jnp.float32),
+        s.padvals[None], s.vis_weights[None], s.lang_weights[None],
+    )["params"]
+    return root, paths, cfg, model, params
+
+
+def test_token_path_matches_pixel_path(setup):
+    """backbone(tokens) == backbone(pixels) exactly (tokens kept bf16)."""
+    _, paths, cfg, model, params = setup
+    ds = LazyDataset(paths)
+    s = ds[0]
+    pixels = jnp.asarray(s.vision[None], jnp.float32)
+    lang = jnp.asarray(s.language[None])
+
+    tokens = model.apply(
+        {"params": {"vision_tower": params["vision_tower"],
+                    "mm_projector": params["mm_projector"]}},
+        pixels, method=VideoLLaMA2VLB.encode_video,
+    ).astype(jnp.bfloat16)
+
+    h_pix, _ = model.apply(
+        {"params": params}, lang, pixels, method=VideoLLaMA2VLB.backbone
+    )
+    # encode_video returns the mistral compute dtype; the cache stores bf16.
+    # The tiny config computes in f32, so compare through the same cast.
+    h_tok, _ = model.apply(
+        {"params": params}, lang, tokens, method=VideoLLaMA2VLB.backbone
+    )
+    h_tok_direct, _ = model.apply(
+        {"params": params}, lang,
+        model.apply(
+            {"params": {"vision_tower": params["vision_tower"],
+                        "mm_projector": params["mm_projector"]}},
+            pixels, method=VideoLLaMA2VLB.encode_video,
+        ),
+        method=VideoLLaMA2VLB.backbone,
+    )
+    np.testing.assert_array_equal(np.asarray(h_tok_direct), np.asarray(h_pix))
+    # bf16 storage rounds the f32 tiny-config tokens once; bound it tightly.
+    np.testing.assert_allclose(
+        np.asarray(h_tok), np.asarray(h_pix), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_cache_build_and_loader(setup, tmp_path):
+    """Sidecar round-trips bf16 bits; wrapped loader = pixel loader inputs."""
+    _, paths, cfg, model, params = setup
+    ds = LazyDataset(paths)
+    path = build_token_cache(model, params, ds, tmp_path / "tok.h5",
+                             batch_size=3)
+    cached = TokenCachedDataset(ds, path)
+    assert len(cached) == len(ds)
+
+    # Bitwise round-trip: the stored uint16 view must equal a fresh encode
+    # at the SAME batch shape the builder used (XLA numerics are
+    # batch-shape-dependent at the low bits, so compare like with like).
+    s = ds[2]
+    pix = np.stack([np.asarray(ds[i].vision, np.float32) for i in (0, 1, 2)])
+    encode = jax.jit(
+        lambda v: model.apply(
+            {"params": {"vision_tower": params["vision_tower"],
+                        "mm_projector": params["mm_projector"]}},
+            v, method=VideoLLaMA2VLB.encode_video,
+        ).astype(jnp.bfloat16)
+    )
+    fresh = np.asarray(encode(jnp.asarray(pix)))[2]
+    got = cached[2].vision
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(got.view(np.uint16), fresh.view(np.uint16))
+    # Non-vision fields pass through untouched.
+    np.testing.assert_array_equal(cached[2].language, s.language)
+    np.testing.assert_array_equal(cached[2].timeseries, s.timeseries)
+
+    # Rebuild is a no-op (fingerprint match).
+    again = build_token_cache(model, params, ds, tmp_path / "tok.h5")
+    assert again == path
+
+
+def test_attach_and_forward_equality(setup, tmp_path):
+    """attach_token_cache swaps datasets; model outputs match pixel batches."""
+    _, paths, cfg, model, params = setup
+    pixel_loader = BatchLoader(LazyDataset(paths), batch_size=3,
+                               shuffle=False, prefetch=0)
+    token_loader = BatchLoader(LazyDataset(paths), batch_size=3,
+                               shuffle=False, prefetch=0)
+    attach_token_cache(model, params, [token_loader], tmp_path,
+                       batch_size=3)
+    assert isinstance(token_loader.dataset, TokenCachedDataset)
+
+    bp = next(iter(pixel_loader))
+    bt = next(iter(token_loader))
+    assert bt.vision.ndim == 3 and bt.vision.dtype == ml_dtypes.bfloat16
+
+    def fwd(vision):
+        pred, _ = model.apply(
+            {"params": params}, jnp.asarray(bp.language),
+            jnp.asarray(vision), jnp.asarray(bp.padvals),
+            jnp.asarray(bp.vis_weights), jnp.asarray(bp.lang_weights),
+            deterministic=True,
+        )
+        return np.asarray(pred)
+
+    np.testing.assert_allclose(
+        fwd(bp.vision.astype(np.float32)), fwd(bt.vision),
+        atol=5e-2, rtol=5e-2,
+    )
