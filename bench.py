@@ -69,6 +69,9 @@ def build(layers: int, batch_size: int, quant: str | None = None):
             lora=LoRAConfig(
                 shared_dropout=os.environ.get("VLB_BENCH_SHARED_DROPOUT", "0") == "1",
                 dropout=float(os.environ.get("VLB_BENCH_DROPOUT", "0.1")),
+                # u8-threshold masks (effective p 26/256=0.1016 vs 0.1,
+                # unbiased; DEVIATIONS.md): -317 ms/step vs exact bernoulli.
+                dropout_bits=int(os.environ.get("VLB_BENCH_DROPOUT_BITS", "8")),
             ),
             scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,

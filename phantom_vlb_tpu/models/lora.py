@@ -46,10 +46,38 @@ class LoRAConfig:
     # still sees unbiased dropout) for ~3/7 of that cost. Default off =
     # peft-faithful.
     shared_dropout: bool = False
+    # Dropout mask arithmetic: 32 = exact peft/bernoulli semantics; 8 uses
+    # a uint8-threshold mask (keep iff bits >= round(p*256), rescale by the
+    # EXACT realized keep-prob 1-round(p*256)/256, so the estimator stays
+    # unbiased).  At p=0.1 the effective rate is 0.1016 — a documented
+    # recipe deviation (DEVIATIONS.md) that removes the f32 uniform
+    # conversion chain from 224 mask sites/step.
+    dropout_bits: int = 32
 
     @property
     def scaling(self) -> float:
         return self.alpha / self.rank
+
+    @property
+    def dropout_keep_prob(self) -> float:
+        if self.dropout_bits >= 32:
+            return 1.0 - self.dropout
+        n = 1 << self.dropout_bits
+        return 1.0 - round(self.dropout * n) / n
+
+
+def adapter_dropout(module: nn.Module, x, cfg: "LoRAConfig"):
+    """Adapter-input dropout (training path; caller checks deterministic)."""
+    if cfg.dropout_bits >= 32:
+        return nn.Dropout(cfg.dropout, deterministic=False)(x)
+    n = 1 << cfg.dropout_bits
+    thr = int(round(cfg.dropout * n))
+    dtype = {8: jnp.uint8, 16: jnp.uint16}[cfg.dropout_bits]
+    bits = jax.random.bits(module.make_rng("dropout"), x.shape, dtype)
+    keep = 1.0 - thr / n
+    return jnp.where(
+        bits >= thr, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype)
+    )
 
 
 class LoRADense(nn.Module):
@@ -132,7 +160,7 @@ class LoRADense(nn.Module):
         else:
             z = x
             if self.lora.dropout and not deterministic:
-                z = nn.Dropout(self.lora.dropout, deterministic=False)(z)
+                z = adapter_dropout(self, z, self.lora)
         z = (z @ a.astype(self.dtype)) @ b.astype(self.dtype)
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 

@@ -179,7 +179,7 @@ def _call_proj(cfg: MistralConfig, proj, x, deterministic, adapter_x=None):
     return proj(x)
 
 
-def _shared_adapter_input(cfg: MistralConfig, x, deterministic):
+def _shared_adapter_input(module, cfg: MistralConfig, x, deterministic):
     """One dropout mask for all adapters reading ``x`` (shared_dropout)."""
     if (
         cfg.lora is not None
@@ -187,7 +187,9 @@ def _shared_adapter_input(cfg: MistralConfig, x, deterministic):
         and cfg.lora.dropout
         and not deterministic
     ):
-        return nn.Dropout(cfg.lora.dropout, deterministic=False)(x)
+        from phantom_vlb_tpu.models.lora import adapter_dropout
+
+        return adapter_dropout(module, x, cfg.lora)
     return None
 
 
@@ -204,7 +206,7 @@ class MistralAttention(nn.Module):
             return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic,
                               adapter_y)
 
-        x_adapter = _shared_adapter_input(cfg, x, deterministic)
+        x_adapter = _shared_adapter_input(self, cfg, x, deterministic)
         q = proj(h * d, "q_proj", x, x_adapter).reshape(b, s, h, d).transpose(0, 2, 1, 3)
         k = proj(hkv * d, "k_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
         v = proj(hkv * d, "v_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
@@ -244,7 +246,7 @@ class MistralMLP(nn.Module):
             return _call_proj(cfg, _proj(cfg, feats, name), y, deterministic,
                               adapter_y)
 
-        x_adapter = _shared_adapter_input(cfg, x, deterministic)
+        x_adapter = _shared_adapter_input(self, cfg, x, deterministic)
         gate = proj(cfg.intermediate_size, "gate_proj", x, x_adapter)
         up = proj(cfg.intermediate_size, "up_proj", x, x_adapter)
         return proj(cfg.hidden_size, "down_proj", nn.silu(gate) * up)
@@ -385,7 +387,11 @@ class MistralModel(nn.Module):
         cfg = self.config
         b, s, _ = inputs_embeds.shape
         if positions is None:
-            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+            # (1, S), not (B, S): every row uses identity positions, so the
+            # (cos, sin) tables broadcast over batch — the scanned layers
+            # then carry one 3 MB table copy per step instead of six
+            # (xplane round 2: per-layer f32[6,1,2048,64] copy pairs).
+            positions = jnp.arange(s, dtype=jnp.int32)[None]
 
         x = inputs_embeds.astype(cfg.dtype)
         rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)

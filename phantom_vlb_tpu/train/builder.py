@@ -91,6 +91,7 @@ def build_model_config(m: Config) -> VLBConfig:
             alpha=float(m.lora_alpha),
             dropout=float(m.lora_dropout),
             shared_dropout=bool(m.get("lora_shared_dropout", False)),
+            dropout_bits=int(m.get("lora_dropout_bits", 32)),
         )
     common = dict(
         num_target=int(m.num_target),

@@ -159,3 +159,26 @@ def test_lora_fits_lowrank_delta_head_cannot(tmp_path):
     # Sanity floors: both regimes train stably and transfer something.
     assert head_corr > 0.5, head_corr
     assert lora_corr > 0.25, lora_corr
+
+
+def test_adapter_dropout_u8_semantics():
+    """u8-threshold dropout: realized rate == round(p*256)/256, unbiased."""
+    import flax.linen as nn
+    from phantom_vlb_tpu.models.lora import LoRAConfig, adapter_dropout
+
+    cfg = LoRAConfig(dropout=0.1, dropout_bits=8)
+    assert abs(cfg.dropout_keep_prob - (1 - 26 / 256)) < 1e-9
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return adapter_dropout(self, x, cfg)
+
+    x = jnp.ones((64, 4096), jnp.float32)
+    out = M().apply({}, x, rngs={"dropout": jax.random.key(0)})
+    drop_rate = float((out == 0).mean())
+    assert abs(drop_rate - 26 / 256) < 5e-3
+    # Unbiased: surviving entries are rescaled by the exact keep prob.
+    nz = np.asarray(out)[np.asarray(out) != 0]
+    np.testing.assert_allclose(nz, 1 / cfg.dropout_keep_prob, rtol=1e-6)
+    np.testing.assert_allclose(float(out.mean()), 1.0, atol=5e-3)
