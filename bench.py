@@ -72,6 +72,7 @@ def build(layers: int, batch_size: int, quant: str | None = None):
                 # u8-threshold masks (effective p 26/256=0.1016 vs 0.1,
                 # unbiased; DEVIATIONS.md): -317 ms/step vs exact bernoulli.
                 dropout_bits=int(os.environ.get("VLB_BENCH_DROPOUT_BITS", "8")),
+                fused_dropout=os.environ.get("VLB_BENCH_FUSED_DROPOUT", "0") == "1",
             ),
             scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,

@@ -53,6 +53,11 @@ class LoRAConfig:
     # recipe deviation (DEVIATIONS.md) that removes the f32 uniform
     # conversion chain from 224 mask sites/step.
     dropout_bits: int = 32
+    # Fuse the adapter-input dropout into the rank-r matmul with a Pallas
+    # kernel (ops/lora_fused.py; TPU only, falls back elsewhere). Restores
+    # INDEPENDENT per-site masks (peft semantics) at less cost than any
+    # mask-materializing variant; mask arithmetic is the u8-threshold form.
+    fused_dropout: bool = False
 
     @property
     def scaling(self) -> float:
@@ -155,13 +160,36 @@ class LoRADense(nn.Module):
             (self.lora.rank, self.features),
             self.param_dtype,
         )
-        if adapter_x is not None:
-            z = adapter_x
+        if (
+            adapter_x is None
+            and self.lora.fused_dropout
+            and self.lora.dropout
+            and not deterministic
+            and jax.default_backend() == "tpu"
+        ):
+            # Pallas kernel: mask bits generated in-VMEM during the rank-r
+            # contraction — one HBM read of x, no dropped-copy/bits tensors
+            # (ops/lora_fused.py; u8-threshold semantics like dropout_bits=8).
+            from phantom_vlb_tpu.ops.lora_fused import fused_dropout_matmul
+
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (), jnp.uint32),
+                jnp.int32,
+            )
+            x2d = x.reshape(-1, in_features)
+            mid = fused_dropout_matmul(
+                x2d, a.astype(self.dtype), seed, self.lora.dropout
+            )
+            z = mid.reshape(*x.shape[:-1], self.lora.rank)
         else:
-            z = x
-            if self.lora.dropout and not deterministic:
-                z = adapter_dropout(self, z, self.lora)
-        z = (z @ a.astype(self.dtype)) @ b.astype(self.dtype)
+            if adapter_x is not None:
+                z = adapter_x
+            else:
+                z = x
+                if self.lora.dropout and not deterministic:
+                    z = adapter_dropout(self, z, self.lora)
+            z = z @ a.astype(self.dtype)
+        z = z @ b.astype(self.dtype)
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 
 

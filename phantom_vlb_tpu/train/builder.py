@@ -92,6 +92,7 @@ def build_model_config(m: Config) -> VLBConfig:
             dropout=float(m.lora_dropout),
             shared_dropout=bool(m.get("lora_shared_dropout", False)),
             dropout_bits=int(m.get("lora_dropout_bits", 32)),
+            fused_dropout=bool(m.get("lora_fused_dropout", False)),
         )
     common = dict(
         num_target=int(m.num_target),
