@@ -93,8 +93,16 @@ def main() -> int:
         batches.append(b)
 
     # ------------------------------------------------------------------
-    # Teacher: bf16 base + nonzero adapters + random head -> targets.
-    log("building teacher (bf16) ...")
+    # Teacher: frozen base + nonzero adapters + random head -> targets.
+    # Any FIXED teacher works (students chase its targets); default bf16,
+    # but when bf16 isn't among the configs (e.g. 32L, where a bf16 model
+    # cannot exist on one 16 GB chip) the teacher uses the first config's
+    # quantization so the comparison stays runnable.
+    teacher_quant = None
+    if "bf16" not in args.configs.split(","):
+        teacher_quant = args.configs.split(",")[0]
+        cfg0 = build_cfg(teacher_quant)
+    log(f"building teacher ({teacher_quant or 'bf16'}) ...")
     model0 = VideoLLaMA2VLB(cfg0)
     init = jax.jit(lambda key: model0.init(
         key, batches[0]["language"], jnp.asarray(batches[0]["vision"]),
@@ -130,24 +138,58 @@ def main() -> int:
         b["timeseries"] = y + rng.standard_normal(y.shape).astype(np.float32) * 0.3
     log("teacher targets done")
 
-    params0_np = jax.tree.map(np.asarray, params0)
-    del teacher_params
+    # NO host round-trip of the weights (7-15 GB through the axon tunnel is
+    # tens of minutes): every student re-inits on device with the SAME key —
+    # bitwise-identical starting weights — and quantizes device-side.
+    del teacher_params, params0
 
     # ------------------------------------------------------------------
+    # Device-side mirror of ops.quant.quantize_tree (same arithmetic, jnp):
+    # avoids fetching the multi-GB base to host just to re-upload it.
+    def q8_dev(w):
+        w32 = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+        scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+        q = jnp.clip(jnp.rint(w32 / scale), -127, 127).astype(jnp.int8)
+        return q, jnp.squeeze(scale, axis=-2)
+
+    def quantize_tree_dev(node, should, prefix=""):
+        out = {}
+        for k, v in node.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if (isinstance(v, dict) and "kernel" in v
+                    and not isinstance(v["kernel"], dict) and should(path)):
+                q, s = q8_dev(v["kernel"])
+                nv = {kk: quantize_tree_dev(vv, should, f"{path}/{kk}")
+                      if isinstance(vv, dict) else vv
+                      for kk, vv in v.items() if kk != "kernel"}
+                nv["kernel_q"], nv["kernel_scale"] = q, s
+                out[k] = nv
+            elif isinstance(v, dict):
+                out[k] = quantize_tree_dev(v, should, path)
+            else:
+                out[k] = v
+        return out
+
+    _ = quantize_tree  # host variant kept for reference/tests
+
     results = []
     for quant_name in args.configs.split(","):
         quant = None if quant_name == "bf16" else quant_name
         cfg = build_cfg(quant)
         model = VideoLLaMA2VLB(cfg)
-        params = params0_np
-        if quant is not None:
+        # Re-init with the TEACHER's init fn/key: bitwise the teacher's base
+        # (students must chase targets through the same base weights).
+        params = init(jax.random.key(0))
+        if quant is not None and teacher_quant is None:
             targets = ("q_proj", "k_proj", "v_proj", "o_proj",
                        "gate_proj", "up_proj", "down_proj",
                        "out_proj", "fc1", "fc2")
-            params = quantize_tree(
-                params, lambda p, w: any(t in p for t in targets)
-            )
-        params = jax.tree.map(jnp.asarray, params)
+            params = jax.jit(
+                lambda p: quantize_tree_dev(
+                    p, lambda path: any(t in path for t in targets)
+                )
+            )(params)
         labels = trainable_labels(params, trainable_predicate)
         tx = make_optimizer(OptimConfig(lr=args.lr))
         state, frozen = init_train_state(params, tx, labels)
