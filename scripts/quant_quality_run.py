@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--n-val", type=int, default=2)
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--configs", default="bf16,w8a8,w8a8g8")
+    ap.add_argument("--teacher", default="auto",
+                    help="teacher base quant: auto|bf16|w8a8|w8a8g8")
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
@@ -99,8 +101,11 @@ def main() -> int:
     # cannot exist on one 16 GB chip) the teacher uses the first config's
     # quantization so the comparison stays runnable.
     teacher_quant = None
-    if "bf16" not in args.configs.split(","):
+    if args.teacher != "auto":
+        teacher_quant = None if args.teacher == "bf16" else args.teacher
+    elif "bf16" not in args.configs.split(","):
         teacher_quant = args.configs.split(",")[0]
+    if teacher_quant is not None:
         cfg0 = build_cfg(teacher_quant)
     log(f"building teacher ({teacher_quant or 'bf16'}) ...")
     model0 = VideoLLaMA2VLB(cfg0)
@@ -219,6 +224,9 @@ def main() -> int:
                         jnp.ones(args.batch),
                     )
                 r = float(np.nanmean(np.asarray(pearson_compute(pear))))
+                # Release the combined tree before the next train step /
+                # config (a lingering 7.5 GB clone OOMs the next init).
+                del full, pear, pred
                 curve.append({"step": it + 1, "val_pearson_avg": round(r, 4)})
                 log(f"[{quant_name}] step {it + 1}: val pearson {r:.4f}")
         row = {
