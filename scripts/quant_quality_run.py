@@ -192,8 +192,13 @@ def main() -> int:
                        "out_proj", "fc1", "fc2")
             params = jax.jit(
                 lambda p: quantize_tree_dev(
-                    p, lambda path: any(t in path for t in targets)
-                )
+                    p,
+                    # mm_projector (STC) is never quantized — its se.fc1/fc2
+                    # convs would otherwise match the CLIP fc names.
+                    lambda path: "mm_projector" not in path
+                    and any(t in path for t in targets),
+                ),
+                donate_argnums=0,
             )(params)
         labels = trainable_labels(params, trainable_predicate)
         tx = make_optimizer(OptimConfig(lr=args.lr))
