@@ -52,7 +52,7 @@ def _fwd_kernel(seed_ref, x_ref, a_ref, bits_ref, o_ref, acc_ref,
 
     x = x_ref[...]
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], i, j)
+        pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
         keep = _mask(pltpu.prng_random_bits(x.shape), thr)
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
@@ -73,7 +73,7 @@ def _dx_kernel(seed_ref, dmid_ref, a_ref, bits_ref, dx_ref,
         preferred_element_type=jnp.float32,
     )
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], i, j)
+        pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
         keep = _mask(pltpu.prng_random_bits(g.shape), thr)
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
@@ -83,7 +83,7 @@ def _dx_kernel(seed_ref, dmid_ref, a_ref, bits_ref, dx_ref,
 
 
 def _da_kernel(seed_ref, x_ref, dmid_ref, bits_ref, da_ref, acc_ref,
-               *, thr, inv_keep, nm, use_prng):
+               *, thr, inv_keep, nm, nk_total, use_prng):
     # grid (nk, nm): j outer, i inner; mask tile ids must match the forward's
     # (i, j) seeding so the regenerated bits are identical.
     j, i = pl.program_id(0), pl.program_id(1)
@@ -94,7 +94,9 @@ def _da_kernel(seed_ref, x_ref, dmid_ref, bits_ref, da_ref, acc_ref,
 
     x = x_ref[...]
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], i, j)
+        # grid here is (nk, nm) with i inner — num_programs(1) is nm, but
+        # the TILE id must match the forward's (i * nk + j) numbering.
+        pltpu.prng_seed(seed_ref[0], i * nk_total + j)
         keep = _mask(pltpu.prng_random_bits(x.shape), thr)
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
@@ -210,7 +212,7 @@ def fused_dropout_matmul(
         )(seed, dmid_p, a_p, bits_in)
         da = pl.pallas_call(
             functools.partial(_da_kernel, thr=thr, inv_keep=1.0 / keep_p,
-                              nm=nm, use_prng=use_prng),
+                              nm=nm, nk_total=nk, use_prng=use_prng),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 grid=(nk, nm),
                 in_specs=[
