@@ -79,18 +79,14 @@ def adapter_dropout(module: nn.Module, x, cfg: "LoRAConfig"):
     thr = int(round(cfg.dropout * n))
     keep = 1.0 - thr / n
     key = module.make_rng("dropout")
-    if cfg.dropout_bits == 8 and x.shape[-1] % 4 == 0:
-        # The TPU RngBitGenerator emits 32 bits/element regardless of the
-        # requested dtype (a u8 draw wastes 3/4 of the generated entropy and
-        # the generation rate IS the dropout cost floor — BENCHMARKS.md).
-        # Draw a quarter-size u32 tensor and unpack 4 bytes per word; the
-        # (..., k/4, 4) -> (..., k) reshape is a free minor-dim collapse.
-        words = jax.random.bits(key, (*x.shape[:-1], x.shape[-1] // 4),
-                                jnp.uint32)
-        bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(x.shape)
-    else:
-        dtype = {8: jnp.uint8, 16: jnp.uint16}[cfg.dropout_bits]
-        bits = jax.random.bits(key, x.shape, dtype)
+    # NOTE (round-2 measurements): a straight u8 draw is the FASTEST mask
+    # source in-model.  "Save entropy" variants that draw quarter-size u32
+    # and unpack 4 bytes/word REGRESS (bitcast+reshape: 4.20 s/step;
+    # shift+concat: 3.12 s/step; plain u8 draw: 3.04 s/step) because XLA
+    # fuses the plain draw into each consumer while any unpacking forces a
+    # materialized bits tensor.  Keep the simple form.
+    dtype = {8: jnp.uint8, 16: jnp.uint16}[cfg.dropout_bits]
+    bits = jax.random.bits(key, x.shape, dtype)
     return jnp.where(
         bits >= thr, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype)
     )

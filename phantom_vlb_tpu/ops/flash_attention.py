@@ -440,8 +440,8 @@ def attention_with_stats(
     sm_scale: float | None = None,
     kv_mask=None,
     causal_offset: int = 0,
-    block_q: int = 512,
-    block_kv: int = 1664,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool | None = None,
 ):
     """Forward-only attention returning (out, logsumexp) — the partial-result
@@ -466,8 +466,8 @@ def attention(
     sm_scale: float | None = None,
     kv_mask=None,
     impl: str = "auto",
-    block_q: int = 512,
-    block_kv: int = 1664,
+    block_q: int = 1024,
+    block_kv: int = 1024,
     interpret: bool | None = None,
     causal_offset: int = 0,
 ):

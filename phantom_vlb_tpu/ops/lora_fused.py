@@ -157,11 +157,14 @@ def fused_dropout_matmul(
     )
     common = dict(num_scalar_prefetch=1)
 
+    # seed/bits ride as EXPLICIT arguments: closure-captured tracers leak
+    # across flax remat boundaries (UnexpectedTracerError under
+    # jax.checkpoint re-tracing).
     @jax.custom_vjp
-    def run(x, a_p):
-        return _fwd(x, a_p)
+    def run(x, a_p, seed, bits_in):
+        return _fwd(x, a_p, seed, bits_in)
 
-    def _fwd(x, a_p):
+    def _fwd(x, a_p, seed, bits_in):
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, thr=thr, inv_keep=1.0 / keep_p,
                               nk=nk, use_prng=use_prng),
@@ -184,11 +187,11 @@ def fused_dropout_matmul(
         )(seed, x, a_p, bits_in)
         return out[:, :r]
 
-    def run_fwd(x, a_p):
-        return _fwd(x, a_p), (x, a_p)
+    def run_fwd(x, a_p, seed, bits_in):
+        return _fwd(x, a_p, seed, bits_in), (x, a_p, seed, bits_in)
 
     def run_bwd(res, dmid):
-        x, a_p = res
+        x, a_p, seed, bits_in = res
         dmid_p = jnp.pad(dmid.astype(x.dtype), ((0, 0), (0, _RP - r)))
         dx = pl.pallas_call(
             functools.partial(_dx_kernel, thr=thr, inv_keep=1.0 / keep_p,
@@ -230,8 +233,11 @@ def fused_dropout_matmul(
             ),
             interpret=interpret,
         )(seed, x, dmid_p, bits_in)
-        return dx, da.astype(x.dtype)
+        import numpy as _np
+
+        dseed = _np.zeros(seed.shape, jax.dtypes.float0)
+        dbits = _np.zeros(bits_in.shape, jax.dtypes.float0)
+        return dx, da.astype(x.dtype), dseed, dbits
 
     run.defvjp(run_fwd, run_bwd)
-    out = run(x, a_p)
-    return out
+    return run(x, a_p, seed, bits_in)
