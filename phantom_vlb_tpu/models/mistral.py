@@ -50,7 +50,7 @@ class MistralConfig:
     max_position_embeddings: int = 32768
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    attention_impl: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'ring' | 'ring_flash'
+    attention_impl: str = "auto"   # 'auto'|'pallas'|'xla'|'ring'|'ring_flash'|'ring_fused'
     remat: bool = True
     # 'nothing' recomputes everything in backward (min memory);
     # 'attn' additionally saves attention outputs (~50 MB/layer at the VLB
@@ -214,18 +214,33 @@ class MistralAttention(nn.Module):
         q = apply_rope(q, rope, cfg.rope_theta)
         k = apply_rope(k, rope, cfg.rope_theta)
 
-        if cfg.attention_impl in ("ring", "ring_flash"):
+        if cfg.attention_impl in ("ring", "ring_flash", "ring_fused"):
             from phantom_vlb_tpu.ops.context_parallel import (
                 get_sequence_mesh,
                 ring_attention,
                 ring_flash_attention,
             )
 
-            ring = (ring_flash_attention if cfg.attention_impl == "ring_flash"
-                    else ring_attention)
-            out = ring(
-                q, k, v, get_sequence_mesh(), causal=True, kv_mask=kv_mask
-            )
+            if cfg.attention_impl == "ring_fused":
+                # Fused-RDMA forward (ops/ring_fused.py): one Pallas kernel
+                # owns the whole ring pass, forwarding KV chunks with async
+                # remote copies while computing; backward = the exact
+                # per-step ring (shared flash decomposition).
+                from phantom_vlb_tpu.ops.ring_fused import ring_flash_fused
+
+                out = ring_flash_fused(
+                    q, k, v, get_sequence_mesh().mesh,
+                    causal=True, kv_mask=kv_mask,
+                )
+            else:
+                ring = (
+                    ring_flash_attention
+                    if cfg.attention_impl == "ring_flash"
+                    else ring_attention
+                )
+                out = ring(
+                    q, k, v, get_sequence_mesh(), causal=True, kv_mask=kv_mask
+                )
         else:
             out = flash_attention(
                 q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl

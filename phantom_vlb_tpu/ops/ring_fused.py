@@ -312,6 +312,11 @@ def ring_flash_fused(
 
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if mesh.shape[axis] == 1:
+        from phantom_vlb_tpu.ops.flash_attention import attention
+
+        return attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                         kv_mask=kv_mask, interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if kv_mask is None:

@@ -204,3 +204,44 @@ def test_ring_flash_gradient_parity(seq_mesh, causal):
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
             err_msg=f"d{n} mismatch",
         )
+
+
+def test_mistral_ring_fused_dispatch(seq_mesh, monkeypatch):
+    """attention_impl='ring_fused' routes q/k/v + kv_mask into
+    ops.ring_fused.ring_flash_fused (kernel parity is covered op-level in
+    test_ring_fused.py; interpret-mode kernels inside a full model are too
+    slow for CI)."""
+    import dataclasses
+
+    from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
+    from phantom_vlb_tpu.ops import ring_fused
+    from phantom_vlb_tpu.ops.context_parallel import set_sequence_mesh
+    from phantom_vlb_tpu.ops.flash_attention import xla_attention
+
+    calls = []
+
+    def fake(q, k, v, mesh, axis="sequence", *, causal, kv_mask=None, **kw):
+        calls.append((q.shape, k.shape, mesh, causal,
+                      None if kv_mask is None else kv_mask.shape))
+        return xla_attention(q, k, v, causal=causal, kv_mask=kv_mask)
+
+    monkeypatch.setattr(ring_fused, "ring_flash_fused", fake)
+
+    cfg = MistralConfig.tiny(num_hidden_layers=2, attention_impl="ring_fused")
+    model = MistralModel(cfg)
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.standard_normal((2, 64, cfg.hidden_size)), jnp.float32)
+    mask = jnp.asarray(np.ones((2, 64), np.int32))
+    set_sequence_mesh(seq_mesh)
+    try:
+        params = model.init(jax.random.key(0), embeds)["params"]
+        calls.clear()  # init traced the dispatch once too
+        out = model.apply({"params": params}, embeds, kv_mask=mask)
+    finally:
+        set_sequence_mesh(None)
+    assert len(calls) == 2  # one per layer
+    qshape, kshape, mesh, causal, mshape = calls[0]
+    assert qshape == (2, cfg.num_attention_heads, 64, cfg.head_dim)
+    assert kshape == (2, cfg.num_key_value_heads, 64, cfg.head_dim)
+    assert mesh is seq_mesh.mesh and causal and mshape == (2, 64)
+    assert np.isfinite(np.asarray(out)).all()
