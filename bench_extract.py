@@ -81,7 +81,12 @@ def main():
         print(f"[bench_extract] batched device {device_cps:.2f} clips/s",
               file=sys.stderr)
 
-    best = max(host_cps, device_cps)
+    # The per-TR loop is ALSO a first-class pipeline option
+    # (cli/extract.py --video_mode per_tr): on lazy-memory/low-RAM hosts its
+    # small recycled buffers beat the batched path's large chunk buffers
+    # (this box; BENCHMARKS.md), while hosts with real memory backing win
+    # with 'batched' (~3x less preprocess work). Report the best available.
+    best = max(host_cps, device_cps, ref_cps)
 
     print(json.dumps({
         "metric": "extract_clips_per_sec_per_chip",

@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--frames_per_tr", type=int, default=4)
     p.add_argument("--tr", type=float, default=1.49)
     p.add_argument("--window_duration", type=int, default=3)
+    p.add_argument("--video_mode", choices=("batched", "per_tr"),
+                   default="batched",
+                   help="frame pipeline: 'batched' dedups shared frames "
+                        "(least work); 'per_tr' uses small recycled buffers "
+                        "(fastest on lazy-memory hosts); outputs identical")
     args = p.parse_args(argv)
 
     geometry = VLBGeometry(
@@ -67,6 +72,7 @@ def main(argv=None) -> int:
         input_video_path=args.input_video_path,
         lazy_load_path=args.lazy_load_path,
         geometry=geometry,
+        video_mode=args.video_mode,
     )
     written = extract_features(
         config, tokenizer, NativeVideoSource, chat_template,

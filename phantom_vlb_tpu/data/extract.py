@@ -20,6 +20,8 @@ from __future__ import annotations
 import dataclasses
 import glob as globlib
 import os
+
+import numpy as np
 from pathlib import Path
 from typing import Callable
 
@@ -33,7 +35,9 @@ from phantom_vlb_tpu.data.text import (
 )
 from phantom_vlb_tpu.data.video import (
     VideoSource,
+    extract_video_chunk,
     extract_video_features,
+    tr_end_times,
 )
 
 __all__ = ["ExtractConfig", "get_input_paths", "extract_episode", "extract_features"]
@@ -46,6 +50,11 @@ class ExtractConfig:
     input_video_path: str
     lazy_load_path: str              # output features .h5 (reference arg name)
     geometry: VLBGeometry = dataclasses.field(default_factory=VLBGeometry)
+    # 'batched': unique-frame dedup + chunked preprocess (least work; best on
+    # hosts with real memory backing); 'per_tr': the reference's loop shape —
+    # small recycled buffers, fastest on lazy-memory/low-RAM hosts
+    # (BENCHMARKS.md extraction notes). Outputs are byte-identical.
+    video_mode: str = "batched"
 
 
 def get_input_paths(config: ExtractConfig) -> dict[str, dict[str, str]]:
@@ -79,6 +88,7 @@ def extract_episode(
     tokenizer: TokenizerProtocol,
     chat_template: Callable[[str, str], str] = default_chat_template,
     preprocess_batch=None,
+    video_mode: str = "batched",
 ) -> FeatureEpisode:
     """Full single-episode extraction (text + video).
 
@@ -90,9 +100,16 @@ def extract_episode(
     scene_onsets = get_scene_onsets(seg_df)
     tokens, onsets, maskvals = processor.process_episode(transcript_df, scene_onsets)
 
-    video = extract_video_features(
-        video_source, geometry, preprocess_batch=preprocess_batch
-    )
+    if video_mode == "per_tr":
+        duration = video_source.num_frames / video_source.fps
+        video = np.stack([
+            extract_video_chunk(video_source, t, geometry)
+            for t in tr_end_times(duration, geometry.tr)
+        ])
+    else:
+        video = extract_video_features(
+            video_source, geometry, preprocess_batch=preprocess_batch
+        )
     return FeatureEpisode(
         transcript_features=tokens,
         transcript_onsets=onsets,
@@ -124,7 +141,8 @@ def extract_features(
         seg_df = pd.read_csv(paths["seg"], sep="\t")
         source = open_video(paths["video"])
         episode = extract_episode(
-            transcript_df, seg_df, source, config.geometry, tokenizer, chat_template
+            transcript_df, seg_df, source, config.geometry, tokenizer,
+            chat_template, video_mode=config.video_mode,
         )
         write_feature_episode(out_path, ep_num, episode)
         written.append(ep_num)

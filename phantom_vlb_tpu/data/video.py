@@ -223,7 +223,13 @@ def extract_video_features(
         idx = np.full((len(windows), g.num_frames), len(processed), np.int64)
         for row, w in enumerate(windows):
             idx[row, : len(w)] = [index[fi] for fi in w]
-        out[start : start + len(windows)] = table[idx]
+        # Gather STRAIGHT into the output slice: `table[idx]` would build a
+        # ~0.5 GB temporary per chunk that glibc mmaps and unmaps each
+        # iteration — on lazy-memory hosts every chunk then pays first-touch
+        # page faults (measured 3.4x slower than the naive per-TR loop on
+        # the 1-vCPU bench box; BENCHMARKS.md).
+        np.take(table, idx, axis=0, out=out[start : start + len(windows)],
+                mode="clip")
     return out
 
 

@@ -48,3 +48,41 @@ def test_batched_device_path_close():
         src, g, preprocess_batch=DevicePreprocessor(g.image_size)
     )
     assert np.abs(host - dev).mean() < 0.01
+
+
+def test_per_tr_mode_matches_batched(tmp_path):
+    """extract_episode(video_mode='per_tr') == 'batched' byte-for-byte."""
+    import pandas as pd
+
+    from phantom_vlb_tpu.core.geometry import VLBGeometry
+    from phantom_vlb_tpu.data.extract import extract_episode
+    from phantom_vlb_tpu.data.text import SentencePieceTestTokenizer
+    from phantom_vlb_tpu.data.video_reader import NativeVideoSource, write_test_video
+
+    g = VLBGeometry(tr=1.49, frames_per_tr=2, window=2, model_max_length=256,
+                    image_size=56)
+    path = tmp_path / "t.mkv"
+    write_test_video(path, w=96, h=64, n=240, fps=23.976)
+    n_tr = 6
+    transcript_df = pd.DataFrame([
+        {
+            "text_per_tr": f"word{i}a word{i}b ",
+            "words_per_tr": str([f"word{i}a", f"word{i}b"]),
+            "onsets_per_tr": str([round(i * g.tr + 0.1, 3),
+                                  round(i * g.tr + 0.7, 3)]),
+        }
+        for i in range(n_tr)
+    ])
+    seg_df = pd.DataFrame({"scene": [1, 2], "onset": [0.0, 4.5]})
+    tok = SentencePieceTestTokenizer()
+
+    outs = {}
+    for mode in ("batched", "per_tr"):
+        src = NativeVideoSource(path)
+        outs[mode] = extract_episode(
+            transcript_df, seg_df, src, g, tok, video_mode=mode
+        )
+        src.close()
+    np.testing.assert_array_equal(
+        outs["per_tr"].video_features, outs["batched"].video_features
+    )
