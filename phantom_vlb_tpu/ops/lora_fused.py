@@ -149,11 +149,11 @@ def fused_dropout_matmul(
     bits_in = bits if bits is not None else jnp.zeros((1, 1), jnp.uint8)
     bits_spec = (
         pl.BlockSpec((bm, bk), lambda i, j, *_: (i, j)) if bits is not None
-        else pl.BlockSpec(memory_space=pltpu.ANY)
+        else pl.BlockSpec(memory_space=pl.ANY)
     )
     bits_spec_da = (
         pl.BlockSpec((bm, bk), lambda j, i, *_: (i, j)) if bits is not None
-        else pl.BlockSpec(memory_space=pltpu.ANY)
+        else pl.BlockSpec(memory_space=pl.ANY)
     )
     common = dict(num_scalar_prefetch=1)
 

@@ -65,13 +65,19 @@ def _ring_fwd_kernel(
     m_scr, l_scr, acc_scr,
     k_send, k_recv, v_send, v_recv,   # DMA sems (n-1,)
     local_sem,                        # DMA sems (2,)
-    *, causal, group, n, bq, s_loc,
+    *, causal, group, n, bq, s_loc, ring_axis,
 ):
     b, h, qi, r = (pl.program_id(i) for i in range(4))
     nq = pl.num_programs(2)
     my = my_id_ref[0]
     hkv = h // group
-    right = jax.lax.rem(my + 1, n)
+    # Right neighbor addressed PER MESH AXIS ({ring_axis: idx}, MESH device
+    # id): the ring spans only the sequence axis, and on a multi-axis mesh
+    # (fsdp x sequence, the production layout) every other coordinate must
+    # stay this device's own.  The previous code passed the bare sequence
+    # index as a LOGICAL id, which cross-wired rings across fsdp rows and
+    # deadlocked (round-3 fix; caught by the extended driver dryrun).
+    right = {ring_axis: jax.lax.rem(my + 1, n)}
 
     first_cell = (b == 0) & (h == 0) & (qi == 0)
 
@@ -82,12 +88,12 @@ def _ring_fwd_kernel(
         pltpu.make_async_remote_copy(
             k_all.at[r - 1], k_all.at[r - 1],
             k_send.at[r - 1], k_recv.at[r - 1], device_id=right,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id_type=pltpu.DeviceIdType.MESH,
         ).wait_recv()
         pltpu.make_async_remote_copy(
             v_all.at[r - 1], v_all.at[r - 1],
             v_send.at[r - 1], v_recv.at[r - 1], device_id=right,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id_type=pltpu.DeviceIdType.MESH,
         ).wait_recv()
 
     @pl.when(first_cell & (r == 0) & (n > 1))
@@ -95,11 +101,11 @@ def _ring_fwd_kernel(
         # step 0: forward OUR chunk into the neighbor's slot 0
         pltpu.make_async_remote_copy(
             k_loc_ref, k_all.at[0], k_send.at[0], k_recv.at[0],
-            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
         ).start()
         pltpu.make_async_remote_copy(
             v_loc_ref, v_all.at[0], v_send.at[0], v_recv.at[0],
-            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
         ).start()
 
     @pl.when(first_cell & (r >= 1) & (r < n - 1))
@@ -107,11 +113,11 @@ def _ring_fwd_kernel(
         # forward the just-arrived chunk r (slot r-1) into neighbor slot r
         pltpu.make_async_remote_copy(
             k_all.at[r - 1], k_all.at[r], k_send.at[r], k_recv.at[r],
-            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
         ).start()
         pltpu.make_async_remote_copy(
             v_all.at[r - 1], v_all.at[r], v_send.at[r], v_recv.at[r],
-            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
         ).start()
 
     # ---- fetch the chunk for this cell into VMEM ----
@@ -199,12 +205,12 @@ def _ring_fwd_kernel(
             pltpu.make_async_remote_copy(
                 k_all.at[0], k_all.at[0], k_send.at[step], k_recv.at[step],
                 device_id=right,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                device_id_type=pltpu.DeviceIdType.MESH,
             ).wait_send()
             pltpu.make_async_remote_copy(
                 v_all.at[0], v_all.at[0], v_send.at[step], v_recv.at[step],
                 device_id=right,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                device_id_type=pltpu.DeviceIdType.MESH,
             ).wait_send()
 
 
@@ -242,7 +248,7 @@ def ring_fwd_sharded(
 
         kernel = functools.partial(
             _ring_fwd_kernel, causal=causal, group=group, n=n,
-            bq=bq, s_loc=s_loc,
+            bq=bq, s_loc=s_loc, ring_axis=axis,
         )
         # NB: with scalar prefetch, index maps receive the scalar refs
         # appended after the grid indices — absorb them with *_.
@@ -251,15 +257,15 @@ def ring_fwd_sharded(
             grid=(b, hq, nq, n),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, r, *_: (b_, h, i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1, s_loc), lambda b_, h, i, r, *_: (b_, r, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, r, *_: (b_, h, i, 0)),
                 pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, r, *_: (b_, h, i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((s_loc, d), k.dtype),

@@ -82,3 +82,30 @@ def test_fused_ring_gradient_parity():
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3,
             err_msg=f"d{name}",
         )
+
+
+def test_fused_ring_multi_axis_mesh():
+    """Ring over `sequence` on a 2x2 (fsdp x sequence) mesh.
+
+    Regression for the multi-axis neighbor addressing: the kernel must
+    address its right neighbor per mesh axis ({'sequence': idx}, MESH
+    device-id type).  The earlier LOGICAL flat-id form cross-wired rings
+    across fsdp rows and deadlocked (round-3 fix).
+
+    NB deliberately 4 participating devices: mosaic interpret mode
+    deadlocks at 8 concurrently-blocked kernels on small hosts (see
+    __graft_entry__.dryrun_multichip docstring for the measurement).
+    """
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("fsdp", "sequence"))
+    q, k, v = _qkv(s=256, seed=3)
+    out, lse = ring_fwd_sharded(
+        q, k, v, None, mesh, "sequence", causal=True, interpret=True,
+        block_q=128,
+    )
+    ref = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    assert np.isfinite(np.asarray(lse)).all()
