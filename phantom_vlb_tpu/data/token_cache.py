@@ -11,8 +11,12 @@ swaps the loader's pixel reads for token reads; training epochs then skip
 ~300 ms/step of frozen vision compute at the production geometry
 (BENCHMARKS.md round-2 table) with bitwise-identical LLM inputs.
 
-The sidecar is keyed by the dataset fingerprint (file paths + per-file
-lengths + token geometry); delete it after changing vision weights.
+The sidecar is keyed by a content-aware dataset fingerprint: file paths,
+per-file sample counts, per-file size+mtime stats, the token geometry, AND a
+digest of the vision-tower/mm_projector weights (per-leaf shape/dtype/
+sum/abs-sum moments).  Regenerating same-shaped feature files or converting
+different vision weights therefore invalidates the cache automatically —
+no manual deletion needed.
 """
 
 from __future__ import annotations
@@ -33,19 +37,58 @@ from phantom_vlb_tpu.data.schemas import LazySample
 
 __all__ = [
     "dataset_fingerprint",
+    "weights_digest",
     "build_token_cache",
     "TokenCachedDataset",
     "attach_token_cache",
 ]
 
 
+def weights_digest(params_subtree) -> str:
+    """Cheap content digest of a param subtree (vision tower + projector).
+
+    Hashes every leaf's path, shape, dtype and two f32 moments (sum,
+    abs-sum) — computed in one jitted pass so only a handful of scalars
+    leave the device even for the full-width frozen tower.  Any weight
+    change that survives both moments unchanged at f32 is beyond what a
+    cache key can reasonably guard.
+    """
+    leaves = jax.tree_util.tree_leaves_with_path(params_subtree)
+
+    @jax.jit
+    def moments(tree):
+        return [
+            (jnp.sum(x, dtype=jnp.float32), jnp.sum(jnp.abs(x), dtype=jnp.float32))
+            for x in jax.tree_util.tree_leaves(tree)
+        ]
+
+    stats = jax.device_get(moments(params_subtree))
+    entries = [
+        [jax.tree_util.keystr(path), list(np.shape(leaf)), str(np.asarray(leaf).dtype)
+         if not hasattr(leaf, "dtype") else str(leaf.dtype),
+         float(s), float(a)]
+        for (path, leaf), (s, a) in zip(leaves, stats)
+    ]
+    return hashlib.sha256(json.dumps(entries, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _file_stats(paths) -> list[list]:
+    out = []
+    for p in paths:
+        st = Path(p).stat()
+        out.append([Path(p).name, int(st.st_size), int(st.st_mtime_ns)])
+    return out
+
+
 def dataset_fingerprint(dataset: LazyDataset, num_vis_tokens: int,
-                        hidden_size: int) -> str:
+                        hidden_size: int, weights: str = "") -> str:
     payload = json.dumps(
         {
             "paths": [Path(p).name for p in dataset.paths],
+            "stats": _file_stats(dataset.paths),
             "ranges": dataset.ranges,
             "tokens": [num_vis_tokens, hidden_size],
+            "weights": weights,
         },
         sort_keys=True,
     )
@@ -87,7 +130,8 @@ def build_token_cache(
     v_tokens, hidden = jax.eval_shape(
         encode, jax.ShapeDtypeStruct((1, *probe.vision.shape), jnp.float32)
     ).shape[1:]
-    fp = dataset_fingerprint(dataset, v_tokens, hidden)
+    fp = dataset_fingerprint(dataset, v_tokens, hidden,
+                             weights=weights_digest(vision_params))
     if path.exists():
         with h5py.File(path, "r") as f:
             if f.attrs.get("fingerprint") == fp:

@@ -124,6 +124,46 @@ def test_cache_build_and_loader(setup, tmp_path):
     assert again == path
 
 
+def test_stale_cache_invalidation(setup, tmp_path):
+    """Regenerated same-shape features and changed vision weights both
+    invalidate the cache (content-aware fingerprint, not name-based)."""
+    root, paths, cfg, model, params = setup
+    ds = LazyDataset(paths)
+    path = build_token_cache(model, params, ds, tmp_path / "tok.h5",
+                             batch_size=3)
+    tok_before = np.asarray(TokenCachedDataset(ds, path)[0].vision)
+    mtime_before = path.stat().st_mtime_ns
+
+    # (a) changed vision weights, same shapes -> rebuild with new tokens.
+    import jax as _jax
+    bumped = dict(params)
+    bumped["vision_tower"] = _jax.tree.map(
+        lambda x: x + 0.01, params["vision_tower"]
+    )
+    path2 = build_token_cache(model, bumped, ds, tmp_path / "tok.h5",
+                              batch_size=3)
+    assert path2 == path
+    tok_after = np.asarray(TokenCachedDataset(ds, path)[0].vision)
+    assert not np.array_equal(
+        tok_before.view(np.uint16), tok_after.view(np.uint16)
+    ), "cache served stale tokens after a vision-weight change"
+
+    # An unchanged dataset + weights is still a no-op rebuild.
+    mtime_mid = path.stat().st_mtime_ns
+    path3 = build_token_cache(model, bumped, ds, tmp_path / "tok.h5",
+                              batch_size=3)
+    assert path3 == path and path.stat().st_mtime_ns == mtime_mid
+
+    # (b) regenerated same-shape feature files -> fingerprint changes.
+    from phantom_vlb_tpu.data.token_cache import dataset_fingerprint
+    fp1 = dataset_fingerprint(ds, 4, 8)
+    import os
+    os.utime(paths[0])  # simulate regeneration: same bytes, new mtime
+    ds2 = LazyDataset(paths)
+    fp2 = dataset_fingerprint(ds2, 4, 8)
+    assert fp1 != fp2, "fingerprint ignored feature-file regeneration"
+
+
 def test_attach_and_forward_equality(setup, tmp_path):
     """attach_token_cache swaps datasets; model outputs match pixel batches."""
     _, paths, cfg, model, params = setup
