@@ -357,6 +357,8 @@ def build_trainer(config: Config):
         output_dir=str(config.output_dir),
         run_name=str(config.get("run_name", "vlb")),
         num_target=model_cfg.num_target,
+        early_stop_patience=int(tr.get("early_stop_patience", 0)),
+        early_stop_min_delta=float(tr.get("early_stop_min_delta", 0.0)),
     )
     # Dual loggers like the reference (train.py:32-39): CSV (the brain-maps
     # API) always; Comet when configured; console for interactive runs.
@@ -465,6 +467,8 @@ def run_cached_training(config: Config) -> dict:
         output_dir=str(config.output_dir),
         run_name=str(config.get("run_name", "vlb")),
         num_target=model_cfg.num_target,
+        early_stop_patience=int(tr.get("early_stop_patience", 0)),
+        early_stop_min_delta=float(tr.get("early_stop_min_delta", 0.0)),
     )
     trainer = VLBTrainer(
         head_forward_fn(head), params["head"], optim_cfg, loop_cfg

@@ -55,6 +55,16 @@ class TrainLoopConfig:
     # at log cadence; non-finite updates are additionally never applied to
     # the model state (train/step.py), so checkpoints cannot be poisoned.
     nan_abort_after: int = 3
+    # Early stopping on val/brain_loss (mode=min, same monitor as the
+    # reference's ModelCheckpoint, train.py:21-27).  The reference has no
+    # early stopping — it always runs the full 10 epochs — so this is OFF
+    # by default (patience=0) for parity; enabling it stops after
+    # ``early_stop_patience`` consecutive validations without an improvement
+    # of more than ``early_stop_min_delta``.  Validations keep the
+    # reference's cadence (val_check_interval fraction of an epoch), so
+    # patience counts fifths-of-epochs under the default config.
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
 
 
 class VLBTrainer:
@@ -104,6 +114,9 @@ class VLBTrainer:
         self.global_step = 0
         self.epoch = 0
         self.last_val_metrics: dict[str, float] = {}
+        self._es_best = float("inf")
+        self._es_strikes = 0
+        self.stopped_early = False
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -173,7 +186,19 @@ class VLBTrainer:
             self.ckpt.save_on_validation(
                 self.state, val_loss, self.epoch, self.global_step
             )
+        self._early_stop_update(val_loss)
         return row
+
+    def _early_stop_update(self, val_loss: float) -> None:
+        if not self.config.early_stop_patience:
+            return
+        if val_loss < self._es_best - self.config.early_stop_min_delta:
+            self._es_best = val_loss
+            self._es_strikes = 0
+        else:
+            self._es_strikes += 1
+            if self._es_strikes >= self.config.early_stop_patience:
+                self.stopped_early = True
 
     def fit(self, train_loader, val_loader) -> dict[str, float]:
         cfg = self.config
@@ -228,7 +253,13 @@ class VLBTrainer:
                             )
                 if val_every and (i + 1) % val_every == 0 and (i + 1) < n_batches:
                     self.validate(val_loader)
-            self.validate(val_loader)
+                    if self.stopped_early:
+                        break
+            if not self.stopped_early:
+                self.validate(val_loader)
+            if self.stopped_early:
+                self._log({"early_stopped_epoch": float(self.epoch)})
+                break
         if self.ckpt is not None:
             self.ckpt.save_last(self.state)
             self._export_adapters_if_any()
