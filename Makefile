@@ -1,7 +1,7 @@
 # Developer targets (the reference ships a cookiecutter Makefile; these are
 # the useful equivalents for this repo).
 
-.PHONY: test test-fast lint bench bench-extract native clean
+.PHONY: test test-fast lint bench bench-extract native clean parity parity-full
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,21 @@ bench:
 
 bench-extract:
 	python bench_extract.py
+
+# Full-WIDTH conversion parity for all three converter halves; rerun after
+# any converter/model change.  Depth 4 for Mistral (depth is module-invariant,
+# docs/parity_runs.md); clip/stc run at their real fixed geometry.
+# ~30-90 min total on 1 vCPU; JAX_PLATFORMS=cpu keeps it off the TPU tunnel.
+parity:
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --layers 4 --out /tmp/fwparity_mistral
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component clip --out /tmp/fwparity_clip
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc
+
+# Deeper Mistral run (depth 8); several hours on 1 vCPU.
+parity-full:
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --layers 8 --out /tmp/fwparity8
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component clip --out /tmp/fwparity_clip
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc
 
 clean:
 	rm -rf .jax_cache
