@@ -40,6 +40,10 @@ from pathlib import Path
 
 import numpy as np
 
+# Runnable as `python scripts/full_width_parity.py` without PYTHONPATH:
+# sys.path[0] is scripts/, so add the repo root for phantom_vlb_tpu imports.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 
 def log(msg: str) -> None:
     print(f"[parity {time.strftime('%H:%M:%S')}] {msg}", flush=True)
