@@ -104,7 +104,12 @@ class RMSNorm(nn.Module):
         weight = self.param(
             "weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype
         )
-        return (x * weight.astype(jnp.float32)).astype(dtype)
+        # HF order (modeling_mistral.py MistralRMSNorm.forward): normalize in
+        # f32, cast back to the input dtype, THEN multiply by the weight in
+        # that dtype — `self.weight * hidden_states.to(input_dtype)`. Keeping
+        # the weight multiply in f32 both deviates from HF and keeps an f32
+        # (B,S,E) cotangent alive through the backward (xplane round 3).
+        return x.astype(dtype) * weight.astype(dtype)
 
 
 def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
@@ -134,11 +139,18 @@ def apply_rope(x: jnp.ndarray, rope, theta: float | None = None) -> jnp.ndarray:
         cos, sin = rope
     else:
         cos, sin = rope_tables(rope, x.shape[-1], theta)
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate(
+    # HF applies the rotation in the model compute dtype: cos/sin are built in
+    # f32 but cast to x.dtype before the multiply (modeling_mistral.py,
+    # apply_rotary_pos_emb / MistralRotaryEmbedding.forward). Matching that —
+    # rather than upcasting x to f32 — is both HF-faithful and removes the
+    # f32 (B,S,H,D) cotangent tensors + their per-layer layout copies that
+    # the round-3 xplane trace showed (~100 ms/step at production geometry).
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     )
-    return out.astype(x.dtype)
 
 
 def _remat_policy(name: str):

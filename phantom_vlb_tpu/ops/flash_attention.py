@@ -152,7 +152,8 @@ def _dq_kernel(
         q = q_ref[0, 0]          # pre-scaled
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]        # kept bf16: MXU operand (f32 x f32 dots run
+        #                          at a fraction of the bf16 MXU rate)
         lse = lse_ref[0, 0][:, :1]           # (bq, 1)
         di = di_ref[0, 0][:, :1]             # (bq, 1)
 
@@ -166,7 +167,7 @@ def _dq_kernel(
 
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
@@ -204,7 +205,7 @@ def _dkv_kernel(
         q = q_ref[0, 0]          # pre-scaled: dk = ds^T @ q_scaled needs no factor
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]        # bf16 MXU operand (see _dq_kernel)
         lse = lse_ref[0, 0][:, :1]
         di = di_ref[0, 0][:, :1]
 
@@ -222,7 +223,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)                                     # (bq, bk)
@@ -232,6 +233,81 @@ def _dkv_kernel(
         )
 
     @pl.when((gi == group - 1) & (qi == nq - 1))
+    def _():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, offset_ref, do_ref, lse_ref, di_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_scr, dk_scr, dv_scr,
+    *, causal, has_bias, sm_scale, group, nq, nk, bq, bk,
+):
+    """Fused backward: one pass computes s/p/ds once and emits dq, dk, dv.
+
+    The separate dq/dkv kernels each rebuild s and p (7 matmuls total per
+    block pair); this kernel does the 5-matmul minimum. dk/dv accumulate in
+    a full-length VMEM scratch (skv_p x d f32 each) so the kv-block axis can
+    sit innermost, which lets dq accumulate in its output window.
+
+    grid: (B, Hkv, group, nq, nk) — kv blocks innermost.
+    """
+    gi, qi, ki = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    offset = offset_ref[0]
+
+    @pl.when((gi == 0) & (qi == 0) & (ki == 0))
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        run = ((qi + 1) * bq - 1 + offset) >= (ki * bk)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]          # pre-scaled by sm_scale
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]        # bf16 MXU operand
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            s = s + bias_ref[0, 0:1, :]
+        if causal:
+            s = _causal_add(s, qi, ki, offset, bq, bk)
+
+        p = jnp.exp(s - lse)                                   # (bq, bk)
+        ks = pl.ds(ki * bk, bk)
+        dv_scr[ks, :] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - di)).astype(q.dtype)                   # (bq, bk)
+        dk_scr[ks, :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_scr[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
+
+    @pl.when((gi == group - 1) & (qi == nq - 1) & (ki == nk - 1))
     def _():
         dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -334,6 +410,68 @@ def _bwd_impl(
     lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 128))
 
     offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
+
+    # Fused dq+dkv kernel: needs 2 x (skv_p x d) f32 VMEM scratch for the
+    # dk/dv accumulators. Use it whenever that scratch is modest; fall back
+    # to the separate kernels for very long kv (ring shards stay short, and
+    # the production seq is 2048, so the fused path is the common case).
+    if skv_p * d * 8 <= 4 * 1024 * 1024:
+        fused_kernel = functools.partial(
+            _dq_dkv_kernel, causal=causal, has_bias=has_bias,
+            sm_scale=sm_scale, group=group, nq=nq, nk=nk, bq=bq, bk=bk,
+        )
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(b, hkv, group, nq, nk),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq, d),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                ),
+                pl.BlockSpec((1, 1, bk, d), lambda b_, h, g, i, j: (b_, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, d), lambda b_, h, g, i, j: (b_, h, j, 0)),
+                pl.BlockSpec((1, 1, bk), lambda b_, h, g, i, j: (b_, 0, j)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1, bq, d),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bq, 128),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bq, 128),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq, d),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                ),
+                pl.BlockSpec((1, 1, skv_p, d), lambda b_, h, g, i, j: (b_, h, 0, 0)),
+                pl.BlockSpec((1, 1, skv_p, d), lambda b_, h, g, i, j: (b_, h, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+                jax.ShapeDtypeStruct((b, hkv, skv_p, d), k.dtype),
+                jax.ShapeDtypeStruct((b, hkv, skv_p, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((skv_p, d), jnp.float32),
+                pltpu.VMEM((skv_p, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary", "arbitrary",
+                ),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
+        return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
+
     dq_kernel = functools.partial(
         _dq_kernel, causal=causal, has_bias=has_bias, sm_scale=sm_scale,
         nk=nk, bq=bq, bk=bk,
