@@ -85,23 +85,30 @@ def parse_planes(path: Path) -> list[dict]:
 
 
 def classify(name: str) -> str:
-    if "copy-start" in name or "copy-done" in name:
+    # HLO event names are full instruction texts ("%fusion.9 = bf16[...]
+    # fusion(%copy-done.5, ...)"): classify on the DEFINING name before
+    # " = " only — matching anywhere would misfile every consumer of a
+    # copy-done operand as a copy (the round-3 bug this comment documents).
+    defn = name.split(" = ")[0]
+    body = name[len(defn):]
+    if "copy-start" in defn or "copy-done" in defn or "slice-start" in defn \
+            or "slice-done" in defn or "all-reduce-start" in defn:
         return "async-copy"
-    if "self_attn" in name or "flash" in name:
+    if "self_attn" in defn or "flash" in defn:
         return "attention"
-    if "custom-call" in name:
-        return "custom-call(other)"
-    if re.search(r"convolution|%dot|dot_general", name):
+    if re.search(r"convolution|dot", defn):
         return "matmul"
-    if "abs_reduce" in name or "clamp_convert" in name:
+    if "abs_reduce" in defn or "clamp_convert" in defn or "quant" in defn:
         return "quant"
-    if "rng" in name or "bit-generator" in name:
+    if "rng" in defn or "bit-generator" in defn:
         return "rng"
-    if "while" in name or "jit_" in name or name.strip().isdigit():
+    if "while" in defn or "jit_" in defn or defn.strip().isdigit():
         return "scopes"
-    if "fusion" in name:
+    if "custom-call" in body and "fusion" not in defn:
+        return "custom-call(other)"
+    if "fusion" in defn:
         return "fusion"
-    if "copy" in name:
+    if "copy" in defn or "transpose" in defn or "bitcast" in defn:
         return "copy/format"
     return "other"
 
