@@ -15,6 +15,8 @@ exercised by the benchmark/serving paths.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +49,45 @@ def int8_matmul(x, q, scale, dtype=jnp.bfloat16):
     return y * scale.astype(dtype)
 
 
+# One-pass Pallas row quant (ops/rowquant.py) — measured SLOWER than XLA's
+# fused absmax+clamp at the production shapes (device-loop timing, round 3:
+# 3.5 vs 2.3 ms at (12288, 14336); BENCHMARKS.md "probed and rejected"), so
+# the jnp path stays the default.  VLB_ROWQUANT=1 switches the kernel in
+# (kept for future Mosaic generations / other geometries).
+_USE_ROWQUANT = os.environ.get("VLB_ROWQUANT", "0") == "1"
+
+
+def _rows_ok(x) -> bool:
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return rows % 8 == 0 and x.shape[-1] % 128 == 0
+
+
+def _act_quant(x):
+    """(..., N) -> (s8 (..., N), f32 scale (..., 1)): symmetric absmax/127."""
+    if _USE_ROWQUANT and _rows_ok(x):
+        from phantom_vlb_tpu.ops.rowquant import row_quant
+
+        return row_quant(x)
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-12)
+    return jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8), s_x
+
+
+def _act_quant_scaled(dy, scale):
+    """Quantize ``dy * scale`` per row without materializing the product."""
+    if _USE_ROWQUANT and _rows_ok(dy):
+        from phantom_vlb_tpu.ops.rowquant import row_quant_scaled
+
+        return row_quant_scaled(dy, scale)
+    g = dy.astype(jnp.float32) * scale
+    s_g = jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0
+    s_g = jnp.maximum(s_g, 1e-12)
+    return jnp.clip(jnp.round(g / s_g), -127, 127).astype(jnp.int8), s_g
+
+
 @jax.custom_vjp
 def _w8a8_core(x, q, scale):
     """Forward: dynamic per-token activation quant + int8xint8 MXU matmul.
@@ -57,11 +98,12 @@ def _w8a8_core(x, q, scale):
     absmax scales (the LLM.int8 recipe, no outlier split — post-RMSNorm
     activations are well-conditioned); scales commute out of the contraction:
     ``y = (x8 @ q) * s_x * s_w``.
+
+    The quant step itself is the one-pass Pallas row kernel (ops/rowquant.py)
+    — XLA's abs-reduce + clamp-convert split runs at ~10-20x bandwidth cost
+    at the production shapes (BENCHMARKS.md round-3 roofline).
     """
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
-    x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    x8, s_x = _act_quant(x)
     y = jax.lax.dot_general(
         x8, q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -102,10 +144,7 @@ def int8_matmul_w8a8(x, q, scale, dtype=jnp.bfloat16):
 
 @jax.custom_vjp
 def _w8a8g8_core(x, q, scale):
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
-    x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    x8, s_x = _act_quant(x)
     y = jax.lax.dot_general(
         x8, q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -124,12 +163,11 @@ def _w8a8g8_bwd(res, dy):
     # ~0.4% RMS relative error on dx — gradient noise well below SGD's own;
     # the e2e learnability test runs with this mode to guard quality.
     q, scale, x_proto = res
-    g = dy.astype(jnp.float32) * scale
-    s_g = jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0
-    s_g = jnp.maximum(s_g, 1e-12)
-    g8 = jnp.clip(jnp.round(g / s_g), -127, 127).astype(jnp.int8)
+    # Fused (dy * weight_scale) + row quant in one VMEM pass — the f32
+    # product never touches HBM (ops/rowquant.py).
+    g8, s_g = _act_quant_scaled(dy, scale)
     dx = jax.lax.dot_general(
-        g8, q, (((g.ndim - 1,), (1,)), ((), ())),
+        g8, q, (((g8.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     return (

@@ -245,7 +245,7 @@ def main() -> int:
         import csv as _csv
 
         curve = []
-        with open(f"{out_dir}/metrics.csv") as f:
+        with open(trainer.csv_logger.path) as f:
             for row in _csv.DictReader(f):
                 if row.get("val_corr_avg"):
                     curve.append((int(row["step"]),
