@@ -128,7 +128,38 @@ def _fwd_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        lse_ref[0, 0] = _rows8(lse)
+
+
+def _rows8(col):
+    """(bq, 1) f32 column -> (8, bq) rows, transpose-free.
+
+    The per-row softmax stats (lse, di) are stored TRANSPOSED as
+    (B, H, 8, S) f32 so that S sits in the minor (lane) dimension: TPU
+    tiled layouts pad the minor dim to 128 lanes, so the naive (B, H, S, k)
+    form occupies 128-lane tiles regardless of k (measured: the (..., 8)
+    variant was byte-identical to (..., 128) and saved nothing).  The
+    transposed form is dense — 16x less HBM traffic on the stats the
+    backward reads twice per layer.  The sublane broadcast is an MXU outer
+    product (ones(8,1) x col^T), avoiding an in-kernel relayout transpose.
+    """
+    ones = jnp.ones((8, 1), jnp.float32)
+    return jax.lax.dot_general(
+        ones, col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _col8(rows):
+    """(8, bq) identical rows -> (bq, 1) column, transpose-free.
+
+    Contracts the 8 sublanes against a constant 1/8 vector on the MXU:
+    sum of 8 identical f32 values is exactly 8x (power-of-two), so the
+    round trip through :func:`_rows8` is bit-exact.
+    """
+    eighth = jnp.full((8, 1), 0.125, jnp.float32)
+    return jax.lax.dot_general(
+        rows, eighth, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _dq_kernel(
@@ -154,8 +185,8 @@ def _dq_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]        # kept bf16: MXU operand (f32 x f32 dots run
         #                          at a fraction of the bf16 MXU rate)
-        lse = lse_ref[0, 0][:, :1]           # (bq, 1)
-        di = di_ref[0, 0][:, :1]             # (bq, 1)
+        lse = _col8(lse_ref[0, 0])           # (8, bq) -> (bq, 1)
+        di = _col8(di_ref[0, 0])
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -206,8 +237,8 @@ def _dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]        # bf16 MXU operand (see _dq_kernel)
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
+        lse = _col8(lse_ref[0, 0])
+        di = _col8(di_ref[0, 0])
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -275,8 +306,8 @@ def _dq_dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]        # bf16 MXU operand
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
+        lse = _col8(lse_ref[0, 0])
+        di = _col8(di_ref[0, 0])
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -368,11 +399,12 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq_p, 128), jnp.float32),
+            # Transposed dense stat layout — see _rows8.
+            jax.ShapeDtypeStruct((b, hq, 8, sq_p), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -384,7 +416,7 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
         ),
         interpret=interpret,
     )(qp, kp, vp, bias, offset_arr)
-    return out[:, :, :sq], lse[:, :, :sq, 0], bias, has_bias
+    return out[:, :, :sq], lse[:, :, 0, :sq], bias, has_bias
 
 
 def _bwd_impl(
@@ -404,10 +436,14 @@ def _bwd_impl(
     dop = _pad_to(do, sq_p, 2)
     op = _pad_to(o, sq_p, 2)
 
+    # Transposed dense (B, H, 8, Sp) f32 stats — S minor avoids the 128-lane
+    # tile padding that made the naive (..., S, k) forms cost 16x their
+    # payload in HBM traffic (see _rows8).
     di = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (*di.shape, 128))
-    lsep = _pad_to(lse, sq_p, 2)
-    lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 128))
+    di = jnp.broadcast_to(di[:, :, None, :], (b, hq, 8, sq_p))
+    lsep = jnp.broadcast_to(
+        _pad_to(lse, sq_p, 2)[:, :, None, :], (b, hq, 8, sq_p)
+    )
 
     offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
 
@@ -437,12 +473,12 @@ def _bwd_impl(
                     lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, bq, 128),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                    (1, 1, 8, bq),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, 0, i),
                 ),
                 pl.BlockSpec(
-                    (1, 1, bq, 128),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
+                    (1, 1, 8, bq),
+                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, 0, i),
                 ),
             ],
             out_specs=[
@@ -486,8 +522,8 @@ def _bwd_impl(
             pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+            pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
+            pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
@@ -517,10 +553,10 @@ def _bwd_impl(
                 (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
             ),
             pl.BlockSpec(
-                (1, 1, bq, 128), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+                (1, 1, 8, bq), lambda b_, h, j, g, i, G=group: (b_, h * G + g, 0, i)
             ),
             pl.BlockSpec(
-                (1, 1, bq, 128), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
+                (1, 1, 8, bq), lambda b_, h, j, g, i, G=group: (b_, h * G + g, 0, i)
             ),
         ],
         out_specs=[
