@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-from phantom_vlb_tpu.ops.flash_attention import MASK_VALUE, _causal_add
+from phantom_vlb_tpu.ops.flash_attention import MASK_VALUE, _causal_add, _rows8
 
 __all__ = ["ring_flash_fused", "ring_fwd_sharded"]
 
@@ -191,7 +191,8 @@ def _ring_fwd_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        # Transposed dense stat layout (S minor) — see flash_attention._rows8.
+        lse_ref[0, 0] = _rows8(lse)
 
     # ---- drain send semaphores at the very last cell ----
     last_cell = (b == pl.num_programs(0) - 1) & (h == pl.num_programs(1) - 1) \
@@ -263,7 +264,7 @@ def ring_fwd_sharded(
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, r, *_: (b_, h, i, 0)),
-                pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, r, *_: (b_, h, i, 0)),
+                pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, r, *_: (b_, h, 0, i)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -285,7 +286,7 @@ def ring_fwd_sharded(
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((b, hq, s_loc, d), q.dtype),
-                jax.ShapeDtypeStruct((b, hq, s_loc, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b, hq, 8, s_loc), jnp.float32),
                 jax.ShapeDtypeStruct((max(n - 1, 1), b, hkv, s_loc, d), k.dtype),
                 jax.ShapeDtypeStruct((max(n - 1, 1), b, hkv, s_loc, d), v.dtype),
             ],
@@ -297,7 +298,7 @@ def ring_fwd_sharded(
                 pltpu.InterpretParams() if interpret else False
             ),
         )(my.reshape(1), qp, k_loc, v_loc, bias_arr)
-        return out, lse[..., 0]
+        return out, lse[:, :, 0, :]
 
     spec = P(None, None, axis, None)
     return shard_map(
