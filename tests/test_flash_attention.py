@@ -95,6 +95,30 @@ def test_gradient_with_mask():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4)
 
 
+def test_gradient_unaligned_clip_shape():
+    """Gradients at the CLIP tower's 577-token, non-128-multiple length.
+
+    Exercises the transposed (B, H, 8, S) stat layout when the padded S is
+    not a lane multiple (sq_p = 577 -> block minor == array dim)."""
+    q, k, v = _inputs(6, s=577, hq=2, hkv=2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=False) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            attention(q, k, v, causal=False, impl="pallas", interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_bf16_runs():
     q, k, v = _inputs(5, s=128)
     q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
