@@ -28,13 +28,14 @@ bench-extract:
 parity:
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --layers 4 --out /tmp/fwparity_mistral
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component clip --out /tmp/fwparity_clip
-	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc --oracle hf
 
 # Deeper Mistral run (depth 8); several hours on 1 vCPU.
 parity-full:
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --layers 8 --out /tmp/fwparity8
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component clip --out /tmp/fwparity_clip
-	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc --oracle hf
+	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc --oracle timm
 
 clean:
 	rm -rf .jax_cache

@@ -162,13 +162,88 @@ def param_bytes_estimate(layers: int, quant: str | None = None) -> int:
     return int(proj_bytes + (other + clip + stc) * 2)
 
 
-def _fits_device(layers: int, quant: str | None = None) -> bool:
-    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
-    limit = (stats or {}).get("bytes_limit") or float(
+def _fits_device(layers: int, quant: str | None, bytes_limit: float | None) -> bool:
+    """HBM-fit estimate. ``bytes_limit`` comes from the backend probe (the
+    parent process never touches ``jax.devices()`` itself — backend init over
+    the axon tunnel can hang or raise, see _probe_backend)."""
+    limit = bytes_limit or float(
         os.environ.get("VLB_BENCH_HBM_BYTES", 16e9)  # v5e default
     )
     needed = param_bytes_estimate(layers, quant) + int(2.5e9)
     return needed < limit
+
+
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last.json")
+
+
+def _probe_backend() -> dict | None:
+    """Check TPU availability in a throwaway subprocess, with retry/backoff.
+
+    Backend init through the tunnel has two observed failure modes: a raised
+    ``UNAVAILABLE`` (round-3 BENCH artifact) and an indefinite hang inside
+    ``make_c_api_client`` (NOTES_ROUND3).  A subprocess with a hard timeout
+    handles both; the tunnel often recovers, so we retry with backoff.
+    Returns {'n', 'kind', 'bytes_limit'} on success, None if the backend
+    never comes up.
+    """
+    import subprocess
+
+    code = (
+        "import jax, json\n"
+        "d = jax.devices()\n"
+        "s = getattr(d[0], 'memory_stats', lambda: None)() or {}\n"
+        "print(json.dumps({'n': len(d), 'kind': str(getattr(d[0], 'device_kind', '?')),"
+        " 'bytes_limit': s.get('bytes_limit')}))\n"
+    )
+    timeout_s = float(os.environ.get("VLB_BENCH_PROBE_TIMEOUT", "180"))
+    attempts = int(os.environ.get("VLB_BENCH_PROBE_ATTEMPTS", "3"))
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                info = json.loads(proc.stdout.strip().splitlines()[-1])
+                _log(f"backend up: {info}")
+                return info
+            err = (proc.stderr.strip().splitlines() or ["?"])[-1]
+            _log(f"backend probe {i + 1}/{attempts} rc={proc.returncode}: {err}")
+        except subprocess.TimeoutExpired:
+            _log(f"backend probe {i + 1}/{attempts} hung >{timeout_s:.0f}s (killed)")
+        except Exception as e:  # malformed probe output etc.
+            _log(f"backend probe {i + 1}/{attempts} failed: {e!r}")
+        if i + 1 < attempts:
+            wait = 30.0 * (i + 1)
+            _log(f"retrying backend probe in {wait:.0f}s...")
+            time.sleep(wait)
+    return None
+
+
+def _emit_fallback(reason: str) -> None:
+    """TPU unavailable: emit ONE well-formed JSON line carrying the last
+    verified number with an explicit staleness flag, never a traceback.
+
+    The bench is the single driver-visible perf artifact; an environment
+    outage must degrade to an honest stale record, not a crashed round
+    (round 3 lost its artifact exactly this way)."""
+    fallback = {
+        # Last driver-verified figure (BENCH_r02.json) as the floor default;
+        # overwritten by .bench_last.json whenever a newer run succeeded.
+        "metric": "lora_train_clips_per_sec_per_chip_w8a8g8",
+        "value": 2.0106,
+        "unit": "clips/s",
+        "vs_baseline": 0.4212,
+        "source": "BENCH_r02.json (driver-verified round-2 run)",
+    }
+    try:
+        with open(_LAST_GOOD) as f:
+            fallback = json.load(f)
+    except Exception:
+        pass
+    fallback["stale"] = True
+    fallback["error"] = reason
+    print(json.dumps(fallback))
 
 
 def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dict:
@@ -229,6 +304,11 @@ def main():
 
     import subprocess
 
+    backend = _probe_backend()
+    if backend is None:
+        _emit_fallback("tpu_unavailable: backend init failed/hung after retries")
+        return
+
     layers_env = int(os.environ.get("VLB_BENCH_LAYERS", "32"))
     # Candidate ladder: full 32L with w8a8g8 frozen base (int8 MXU on both
     # passes — the fastest single-chip full-7B config; adapter-grad cosine
@@ -241,9 +321,10 @@ def main():
     candidates = [
         (l, q) for l, q in candidates if l <= max(layers_env, 32)
     ]
+    child_timeout = float(os.environ.get("VLB_BENCH_CHILD_TIMEOUT", "2700"))
     last_err = "no scale attempted"
     for layers, quant in candidates:
-        if not _fits_device(layers, quant):
+        if not _fits_device(layers, quant, backend.get("bytes_limit")):
             print(
                 f"[bench] layers={layers} quant={quant}: est. params "
                 f"{param_bytes_estimate(layers, quant) / 1e9:.1f} GB exceed "
@@ -252,21 +333,40 @@ def main():
                 file=sys.stderr,
             )
             continue
-        proc = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--single", str(layers), quant or "none",
-            ],
-            capture_output=True,
-            text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--single", str(layers), quant or "none",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = f"layers={layers} quant={quant} hung >{child_timeout:.0f}s"
+            sys.stderr.write((e.stderr or b"").decode(errors="replace")
+                             if isinstance(e.stderr, bytes) else (e.stderr or ""))
+            print(f"[bench] {last_err}", file=sys.stderr)
+            continue
         sys.stderr.write(proc.stderr)
         if proc.returncode == 0 and proc.stdout.strip():
-            print(proc.stdout.strip().splitlines()[-1])
+            line = proc.stdout.strip().splitlines()[-1]
+            try:  # record the verified number for future outage fallbacks
+                parsed = json.loads(line)
+                parsed["source"] = (
+                    f"measured {time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                    f"on {backend.get('kind', '?')}"
+                )
+                with open(_LAST_GOOD, "w") as f:
+                    json.dump(parsed, f)
+            except Exception:
+                pass
+            print(line)
             return
         last_err = f"layers={layers} quant={quant} rc={proc.returncode}"
         print(f"[bench] {last_err}", file=sys.stderr)
-    raise SystemExit(f"bench failed at all scales: {last_err}")
+    _emit_fallback(f"bench failed at all scales: {last_err}")
 
 
 if __name__ == "__main__":

@@ -12,11 +12,16 @@ swaps the loader's pixel reads for token reads; training epochs then skip
 (BENCHMARKS.md round-2 table) with bitwise-identical LLM inputs.
 
 The sidecar is keyed by a content-aware dataset fingerprint: file paths,
-per-file sample counts, per-file size+mtime stats, the token geometry, AND a
-digest of the vision-tower/mm_projector weights (per-leaf shape/dtype/
-sum/abs-sum moments).  Regenerating same-shaped feature files or converting
-different vision weights therefore invalidates the cache automatically —
-no manual deletion needed.
+per-file sample counts, per-file size+mtime stats, a per-file content crc32
+(dset_len + first/last sample vision bytes — catches mtime-preserving copies
+of regenerated features), the token geometry, AND a digest of the
+vision-tower/mm_projector weights (per-leaf shape/dtype/sum/abs-sum moments).
+Regenerating same-shaped feature files or converting different vision
+weights therefore invalidates the cache automatically — no manual deletion
+needed.  (mtime stays in the key as a conservative backstop: a bare
+``touch`` rebuilds a cache it didn't need to, which is safe; the crc samples
+only the boundary tensors, which a changed-in-the-middle-only regeneration
+could in principle evade.)
 """
 
 from __future__ import annotations
@@ -72,11 +77,32 @@ def weights_digest(params_subtree) -> str:
     return hashlib.sha256(json.dumps(entries, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _content_crc(path) -> int:
+    """crc32 of ``dset_len`` + the first and last samples' vision bytes.
+
+    Size+mtime stats alone miss an mtime-preserving copy of regenerated
+    features (``cp -p`` from another build); sampling the two boundary
+    vision tensors (~32 MB/file at production geometry, read once per cache
+    attach) catches any regeneration whose values actually changed
+    (VERDICT round 3, ask 6).
+    """
+    import zlib
+
+    with h5py.File(path, "r") as f:
+        n = int(np.asarray(f["dset_len"])[0])
+        crc = zlib.crc32(str(n).encode())
+        for idx in sorted({0, max(n - 1, 0)}):
+            vision = np.ascontiguousarray(f[f"{idx}/{idx}_vision"][...])
+            crc = zlib.crc32(vision.tobytes(), crc)
+    return crc
+
+
 def _file_stats(paths) -> list[list]:
     out = []
     for p in paths:
         st = Path(p).stat()
-        out.append([Path(p).name, int(st.st_size), int(st.st_mtime_ns)])
+        out.append([Path(p).name, int(st.st_size), int(st.st_mtime_ns),
+                    _content_crc(p)])
     return out
 
 

@@ -99,9 +99,10 @@ def _w8a8_core(x, q, scale):
     activations are well-conditioned); scales commute out of the contraction:
     ``y = (x8 @ q) * s_x * s_w``.
 
-    The quant step itself is the one-pass Pallas row kernel (ops/rowquant.py)
-    — XLA's abs-reduce + clamp-convert split runs at ~10-20x bandwidth cost
-    at the production shapes (BENCHMARKS.md round-3 roofline).
+    The quant step is the jnp absmax+clamp path by default — XLA fuses it
+    well enough that the one-pass Pallas row kernel (ops/rowquant.py)
+    measured SLOWER at production shapes (BENCHMARKS.md round-3 rejected
+    list); the kernel stays opt-in behind VLB_ROWQUANT=1.
     """
     x8, s_x = _act_quant(x)
     y = jax.lax.dot_general(

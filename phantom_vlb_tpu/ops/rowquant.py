@@ -66,6 +66,14 @@ def _pick_block_rows(rows: int, n: int, itemsize: int) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _row_quant_2d(x, w_scale=None, interpret=False):
     rows, n = x.shape
+    if rows % 8 or n % 128:
+        # Enforce the documented shape contract at the public API (ADVICE
+        # round 3): _pick_block_rows would otherwise degrade br to 1 for odd
+        # row counts and Mosaic tiling fails with an opaque compile error.
+        raise ValueError(
+            f"row_quant requires rows % 8 == 0 and N % 128 == 0, got "
+            f"({rows}, {n}); use the jnp path in ops/quant.py for odd shapes"
+        )
     br = _pick_block_rows(rows, n, x.dtype.itemsize)
     kernel = _row_quant_kernel if w_scale is None else _row_quant_scaled_kernel
     in_specs = [pl.BlockSpec((br, n), lambda i: (i, 0))]

@@ -60,6 +60,26 @@ class CheckpointManager:
     def save_last(self, state: Any) -> Path:
         return self.save("last", state)
 
+    def save_metadata(self, meta: dict) -> None:
+        """Persist small host-side trainer state (early-stop window, best
+        metric) alongside the checkpoints, so a preempted-and-resumed run
+        does not reset its patience window or re-save a worse 'best'
+        (ADVICE round 3)."""
+        import json
+
+        (self.directory / "trainer_state.json").write_text(json.dumps(meta))
+
+    def load_metadata(self) -> dict:
+        import json
+
+        path = self.directory / "trainer_state.json"
+        if not path.exists():
+            return {}
+        try:
+            return json.loads(path.read_text())
+        except ValueError:
+            return {}
+
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure/shardings of ``target``."""
         return self.restore_path(self.directory / name, target)

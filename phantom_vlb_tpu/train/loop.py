@@ -150,6 +150,17 @@ class VLBTrainer:
             return False
         self.state = self.ckpt.restore(name, self.state)
         self.global_step = int(self.state.step)
+        # Host-side trainer state (early-stop window, best-so-far) survives
+        # preemption too — otherwise a resumed run resets its patience window
+        # and can train past where an uninterrupted run would have stopped,
+        # and re-saves a worse 'best' checkpoint (ADVICE round 3).
+        meta = self.ckpt.load_metadata()
+        self._es_best = float(meta.get("es_best", self._es_best))
+        self._es_strikes = int(meta.get("es_strikes", self._es_strikes))
+        self.ckpt.best_metric = float(meta.get("best_metric", self.ckpt.best_metric))
+        best_path = meta.get("best_path")
+        if best_path and Path(best_path).exists():
+            self.ckpt.best_path = Path(best_path)
         return True
 
     # ------------------------------------------------------------------
@@ -187,6 +198,15 @@ class VLBTrainer:
                 self.state, val_loss, self.epoch, self.global_step
             )
         self._early_stop_update(val_loss)
+        if self.ckpt is not None:
+            self.ckpt.save_metadata({
+                "es_best": self._es_best,
+                "es_strikes": self._es_strikes,
+                "best_metric": self.ckpt.best_metric,
+                "best_path": str(self.ckpt.best_path or ""),
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+            })
         return row
 
     def _early_stop_update(self, val_loss: float) -> None:

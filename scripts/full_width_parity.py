@@ -314,13 +314,17 @@ def run_clip(args) -> list:
 # ---------------------------------------------------------------------------
 def run_stc(args) -> list:
     """Key-set + forward parity of the STC connector at production geometry
-    (12 frames x 24x24 grid x 1024 -> 1183 tokens x 4096) vs the
-    timm-structured torch fixture."""
+    (12 frames x 24x24 grid x 1024 -> 1183 tokens x 4096) vs a torch
+    fixture: ``--oracle timm`` (the timm-structured transcription) or
+    ``--oracle hf`` (HF transformers' independently-authored RegNetYLayer
+    composition — see tests/test_stc_hf_oracle.py)."""
     import importlib.util
 
     import torch
 
-    fixture_path = Path(__file__).resolve().parents[1] / "tests" / "test_stc_timm_fixture.py"
+    fixture_name = ("test_stc_hf_oracle.py" if args.oracle == "hf"
+                    else "test_stc_timm_fixture.py")
+    fixture_path = Path(__file__).resolve().parents[1] / "tests" / fixture_name
     spec = importlib.util.spec_from_file_location("stc_fixture", fixture_path)
     fix = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(fix)
@@ -335,15 +339,26 @@ def run_stc(args) -> list:
     from phantom_vlb_tpu.train.builder import _stc_expected_keys
 
     cfg = STCConfig(dtype=jnp.float32, param_dtype=jnp.float32)  # production
-    log(f"building torch STC fixture at {cfg.encoder_hidden_size} -> "
-        f"{cfg.hidden_size}, depth {cfg.depth} (~0.5B params)...")
+    log(f"building torch STC fixture ({args.oracle}) at "
+        f"{cfg.encoder_hidden_size} -> {cfg.hidden_size}, depth {cfg.depth} "
+        f"(~0.5B params)...")
     torch.manual_seed(4)
-    tm = fix.STCConnectorTorch(
-        cfg.encoder_hidden_size, cfg.hidden_size, cfg.output_hidden_size,
-        depth=cfg.depth, mlp_depth=cfg.mlp_depth,
-    ).eval()
+    if args.oracle == "hf":
+        tm = fix.HFSTCOracle(
+            cfg.encoder_hidden_size, cfg.hidden_size, cfg.output_hidden_size,
+            depth=cfg.depth, mlp_depth=cfg.mlp_depth,
+        )
+        fix._randomize(tm, seed=4)
+        tm = tm.eval()
+    else:
+        tm = fix.STCConnectorTorch(
+            cfg.encoder_hidden_size, cfg.hidden_size, cfg.output_hidden_size,
+            depth=cfg.depth, mlp_depth=cfg.mlp_depth,
+        ).eval()
 
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    if args.oracle == "hf":
+        sd = fix._remap(sd)
     # Key layout == the builder's strict-load tripwire at production depth.
     assert set(sd) == _stc_expected_keys(cfg), (
         set(sd) ^ _stc_expected_keys(cfg)
@@ -396,6 +411,9 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=2e-3)
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated shards")
+    ap.add_argument("--oracle", choices=("timm", "hf"), default="timm",
+                    help="stc fixture authorship: builder's timm "
+                         "transcription or HF transformers composition")
     args = ap.parse_args()
 
     if args.component == "clip":
@@ -411,8 +429,8 @@ def main() -> int:
         if failures:
             log(f"FULL-WIDTH STC PARITY FAILED: {failures}")
             return 1
-        log("FULL-WIDTH STC PARITY OK (1024 -> 4096, depth 4, "
-            f"12x24x24 -> 1183 tokens, tol {args.tol})")
+        log(f"FULL-WIDTH STC PARITY OK (oracle={args.oracle}, 1024 -> 4096, "
+            f"depth 4, 12x24x24 -> 1183 tokens, tol {args.tol})")
         return 0
 
     out = Path(args.out)

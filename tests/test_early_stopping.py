@@ -85,6 +85,51 @@ def test_early_stop_does_not_fire_while_improving(tmp_path):
     assert t.global_step == 36
 
 
+def test_early_stop_state_survives_resume(tmp_path):
+    """Preempt-and-resume must not reset the patience window: a resumed run
+    picks up es_best/es_strikes (and the best-checkpoint metric) from the
+    trainer_state.json sidecar, so it stops where an uninterrupted run would
+    (ADVICE round 3)."""
+    train = _data(3, 0, learnable=False)
+    val = _data(2, 1, learnable=False)
+
+    def make():
+        head = BrainReadoutHead(hidden_size=H, num_target=P, dropout_rate=0.0)
+        params = head.init(
+            jax.random.key(0), jnp.zeros((1, S, H)), jnp.zeros((1, S))
+        )["params"]
+
+        def fwd(p, batch, rng, train):
+            return head.apply({"params": p}, batch["hidden"],
+                              batch["weights"], deterministic=True)
+
+        return VLBTrainer(
+            fwd, params, OptimConfig(lr=0.0, t_max=500),
+            TrainLoopConfig(max_epochs=1, val_check_interval=0.0,
+                            log_every_n_steps=100,
+                            output_dir=str(tmp_path / "ck"),
+                            run_name="r", num_target=P, checkpoint=True,
+                            early_stop_patience=3),
+        )
+
+    t1 = make()
+    t1.fit(train, val)  # 1 epoch: 1 validation -> es_best set, 0 strikes
+    t1.validate(val)    # 2nd validation: strike 1 (flat loss)
+    assert t1._es_strikes == 1
+    saved_best = t1._es_best
+
+    t2 = make()
+    assert t2._es_strikes == 0  # fresh trainer...
+    assert t2.maybe_resume()
+    assert t2._es_strikes == 1              # ...resumed patience window
+    assert t2._es_best == saved_best
+    assert t2.ckpt.best_metric == t1.ckpt.best_metric
+    # Two more flat validations exhaust patience=3 without a reset.
+    t2.validate(val)
+    t2.validate(val)
+    assert t2.stopped_early
+
+
 def test_early_stop_mid_epoch_validations_count(tmp_path):
     """val_check_interval > 0: mid-epoch validations advance the patience
     counter, so the stop can fire inside an epoch."""

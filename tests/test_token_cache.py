@@ -164,6 +164,44 @@ def test_stale_cache_invalidation(setup, tmp_path):
     assert fp1 != fp2, "fingerprint ignored feature-file regeneration"
 
 
+def test_mtime_preserving_regeneration_invalidates(setup, tmp_path):
+    """An mtime-preserving copy of REGENERATED features (same size, same
+    mtime, different values — e.g. `cp -p` from another build) must change
+    the fingerprint: the per-file content crc32 catches what size+mtime
+    stats cannot (VERDICT round 3, ask 6)."""
+    import h5py
+    import os
+    import shutil
+
+    root, paths, cfg, model, params = setup
+    from phantom_vlb_tpu.data.token_cache import dataset_fingerprint
+
+    # Work on a private copy so the module-scoped fixture stays intact.
+    work = tmp_path / "copies"
+    work.mkdir()
+    copies = []
+    for p in paths:
+        dst = work / os.path.basename(p)
+        shutil.copy2(p, dst)  # preserves size AND mtime
+        copies.append(str(dst))
+    fp_before = dataset_fingerprint(LazyDataset(copies), 4, 8)
+
+    st = os.stat(copies[0])
+    with h5py.File(copies[0], "r+") as f:
+        n = int(f["dset_len"][0])
+        last = n - 1
+        d = f[f"{last}/{last}_vision"]
+        d[...] = d[...] + 1.0  # same shape/size, different values
+    os.utime(copies[0], ns=(st.st_atime_ns, st.st_mtime_ns))  # restore mtime
+    st2 = os.stat(copies[0])
+    assert st2.st_mtime_ns == st.st_mtime_ns  # the copy really is stealthy
+
+    fp_after = dataset_fingerprint(LazyDataset(copies), 4, 8)
+    assert fp_before != fp_after, (
+        "fingerprint missed an mtime-preserving content regeneration"
+    )
+
+
 def test_attach_and_forward_equality(setup, tmp_path):
     """attach_token_cache swaps datasets; model outputs match pixel batches."""
     _, paths, cfg, model, params = setup
