@@ -195,6 +195,89 @@ def probe_llm(group=1, dropout=False, rng_impl="threefry2x32"):
     return dt, dt2
 
 
+def probe_quant():
+    """Quant-class bandwidth bar (VERDICT r3 ask 3, 240 ms class).
+
+    Device-loop (fori_loop) timing of the exact w8a8g8 activation-quant
+    chains at the two production shapes, against (a) a pure elementwise
+    control loop that measures this chip's ACHIEVED elementwise HBM rate and
+    (b) the analytic byte count of each chain.  Differential timing: the
+    control loop's carry update (x *= c, read+write bf16) is present in
+    every variant, so (variant - control) isolates the quant chain itself.
+
+    The quant chain per site is absmax-reduce(read) + round/clip/convert
+    (read + s8 write); the consumer sum adds one s8 read (accounted).
+    """
+    from functools import partial
+
+    from phantom_vlb_tpu.ops.quant import _act_quant, _act_quant_scaled
+
+    K = 30
+
+    def run(shape, label):
+        M, N = shape
+        x = jax.random.normal(jax.random.key(0), (M, N), jnp.bfloat16)
+        wscale = jax.random.uniform(jax.random.key(1), (N,), jnp.float32)
+        c = jnp.bfloat16(1.0 + 1e-6)
+
+        def ctrl_body(i, carry):
+            x, acc = carry
+            x = x * c
+            return x, acc + x[0, 0].astype(jnp.float32)
+
+        def quant_body(i, carry):
+            x, acc = carry
+            x = x * c
+            x8, s = _act_quant(x)
+            # consume both outputs fully so nothing is dead-code eliminated
+            return x, acc + jnp.sum(jnp.abs(x8).astype(jnp.int32)).astype(
+                jnp.float32
+            ) + jnp.sum(s)
+
+        def gquant_body(i, carry):
+            x, acc = carry
+            x = x * c
+            g8, s = _act_quant_scaled(x, wscale)
+            return x, acc + jnp.sum(jnp.abs(g8).astype(jnp.int32)).astype(
+                jnp.float32
+            ) + jnp.sum(s)
+
+        def loop(body, x):
+            _, acc = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0)))
+            return acc
+
+        t = {}
+        for name, body in (("ctrl", ctrl_body), ("act_quant", quant_body),
+                           ("grad_quant", gquant_body)):
+            f = jax.jit(partial(loop, body))
+            _ = float(f(x))  # compile + warm
+            t0 = time.perf_counter()
+            _ = float(f(x))
+            t[name] = (time.perf_counter() - t0) / K
+
+        bf16_mb = M * N * 2 / 1e6
+        s8_mb = M * N / 1e6
+        ctrl_bytes = 2 * bf16_mb  # read + write bf16
+        bw = ctrl_bytes / 1e3 / t["ctrl"]  # GB/s achieved elementwise
+        log(f"[{label}] ctrl (x*=c): {t['ctrl']*1e3:.2f} ms "
+            f"-> achieved elementwise BW {bw:.0f} GB/s")
+        for name in ("act_quant", "grad_quant"):
+            dt = t[name] - t["ctrl"]
+            # chain bytes: absmax read + convert read + s8 write + consumer
+            # s8 read (the sum that keeps it alive); grad_quant reads f32
+            # scale (N*4, negligible).
+            chain_mb = 2 * bf16_mb + 2 * s8_mb
+            floor_ms = chain_mb / 1e3 / bw * 1e3
+            one_pass_mb = bf16_mb + 2 * s8_mb  # single-read kernel bar
+            one_pass_ms = one_pass_mb / 1e3 / bw * 1e3
+            log(f"[{label}] {name}: +{dt*1e3:.2f} ms over ctrl | "
+                f"two-pass floor at achieved BW {floor_ms:.2f} ms, "
+                f"one-pass floor {one_pass_ms:.2f} ms")
+
+    run((12288, 4096), "12288x4096")
+    run((12288, 14336), "12288x14336")
+
+
 def probe_step(trace=False):
     sys.path.insert(0, "/root/repo")
     import bench
@@ -230,6 +313,8 @@ if __name__ == "__main__":
         probe_attn()
     if "mm" in what:
         probe_mm()
+    if "quant" in what:
+        probe_quant()
     if "llm" in what:
         probe_llm()
     if "dropout" in what:

@@ -48,6 +48,11 @@ import time
 
 import numpy as np
 
+# Runnable as `python scripts/plateau_run.py` without PYTHONPATH.
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 
 def log(msg):
     print(f"[plateau {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
