@@ -75,6 +75,13 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-4,
                     help="recipe-of-record lr (train/optim.py OptimConfig)")
     ap.add_argument("--out", default="/tmp/plateau")
+    ap.add_argument("--plant", choices=("token", "self"), default="token",
+                    help="token: stimulus code via the shared bf16 vision "
+                         "tokens (de-circularized, but its linear ceiling "
+                         "collapses through a QUANTIZED random backbone); "
+                         "self: code planted in each config's own frozen "
+                         "pooled rep (same ceiling per config by "
+                         "construction -> fair time-to-plateau comparison)")
     ap.add_argument("--probe", action="store_true",
                     help="closed-form ridge achievability probe only")
     args = ap.parse_args()
@@ -226,20 +233,16 @@ def main() -> int:
         # Vision path trains from the shared precomputed tokens (above).
         params = {k: v for k, v in params.items()
                   if k not in ("vision_tower", "mm_projector")}
-        train_loader = ListLoader(batches[: args.train_batches])
-        val_loader = ListLoader(batches[args.train_batches :])
 
-        if args.probe:
-            # Closed-form achievability probe: the head's exact input is the
-            # HRF-mask-pooled backbone rep (models/heads.py); solve ridge on
-            # host and report the best LINEAR val r — the ceiling SGD can
-            # reach with LoRA off.  Cheap sanity before an hour of training.
+        def _ln(a):
+            mu = a.mean(-1, keepdims=True)
+            var = ((a - mu) ** 2).mean(-1, keepdims=True)
+            return (a - mu) / np.sqrt(var + 1e-6)
+
+        def pooled_reps():
+            # The head's exact input: HRF-mask-pooled backbone rep
+            # (models/heads.py), through THIS config's frozen backbone.
             from phantom_vlb_tpu.ops.weight_mask import build_weight_mask
-
-            def _ln(a):
-                mu = a.mean(-1, keepdims=True)
-                var = ((a - mu) ** 2).mean(-1, keepdims=True)
-                return (a - mu) / np.sqrt(var + 1e-6)
 
             pooled_fn = jax.jit(lambda p, b: (
                 lambda hidden_valid: jnp.einsum(
@@ -254,10 +257,45 @@ def main() -> int:
             for bt in batches:
                 dev = {k: jnp.asarray(v) for k, v in bt.items()}
                 reps.append(np.asarray(pooled_fn(params, dev), np.float32))
-            X = _ln(np.concatenate(reps))                    # (N, E) like LN2
+            return np.concatenate(reps)
+
+        cfg_batches = batches
+        y_cfg = y
+        if args.plant == "self":
+            # Fair cross-config time-to-plateau: plant the code in THIS
+            # config's own frozen pooled rep (LoRA starts at zero, so the
+            # rep at init IS the frozen rep).  Every config then has the
+            # same noise ceiling by construction — unlike the token-level
+            # plant, whose linear trace through a QUANTIZED random-init
+            # backbone collapses (measured: probe r 0.45 bf16 vs 0.08
+            # w8a8g8 at 16L — int8 noise on unstructured random weights
+            # erases the code; with pretrained structure the quant-quality
+            # teacher-student curves bound the effect instead).
+            X0 = _ln(pooled_reps())
+            r_self = prng.standard_normal(
+                (X0.shape[-1], K)).astype(np.float32) / np.sqrt(X0.shape[-1])
+            z_self = X0 @ r_self
+            y_cfg = zs(zs(z_self) @ p_out)
+            y_cfg = (y_cfg + args.noise
+                     * np.random.default_rng(7).standard_normal(y_cfg.shape)
+                     .astype(np.float32))
+            cfg_batches = [dict(bt) for bt in batches]
+            for bi in range(n_batches):
+                cfg_batches[bi]["timeseries"] = y_cfg[bi * B : (bi + 1) * B]
+            log(f"[{quant_name}] self-plant targets built "
+                f"(ceiling r = {ceiling:.3f} by construction)")
+        train_loader = ListLoader(cfg_batches[: args.train_batches])
+        val_loader = ListLoader(cfg_batches[args.train_batches :])
+
+        if args.probe:
+            # Closed-form achievability probe: solve ridge on host from the
+            # pooled reps and report the best LINEAR val r — the ceiling SGD
+            # can reach with LoRA off.  Cheap sanity before an hour of
+            # training.
+            X = _ln(pooled_reps())                           # (N, E) like LN2
             n_tr = args.train_batches * B
             Xt, Xv = X[:n_tr], X[n_tr:]
-            yt, yv = y[:n_tr], y[n_tr:]
+            yt, yv = y_cfg[:n_tr], y_cfg[n_tr:]
             for alpha in (1e0, 1e2, 1e4):
                 w = np.linalg.solve(
                     Xt.T @ Xt + alpha * np.eye(X.shape[1], dtype=np.float64),
