@@ -113,7 +113,7 @@ def _da_kernel(seed_ref, x_ref, dmid_ref, bits_ref, da_ref, acc_ref,
 
 def fused_dropout_matmul(
     x, a, seed, p: float,
-    *, bits=None, block_m: int = 1024, block_k: int = 2048, interpret=None,
+    *, bits=None, block_m: int = 512, block_k: int = 1024, interpret=None,
 ):
     """``dropout(x; p) @ a`` with the mask fused into the contraction.
 
@@ -121,6 +121,11 @@ def fused_dropout_matmul(
     ``bits`` (M, K) uint8 is given — the test path).  Returns (M, r) in
     ``x.dtype``.  Differentiable in x and a.
     """
+    # Default tiles are sized for the in-step case: at (1024, 2048) the
+    # double-buffered x tile alone is 8 MB and the kernel exceeded the 16 MB
+    # scoped-vmem limit by 344 KB when embedded in the remat backward
+    # (measured in-step, round 4); (512, 1024) leaves ~4x headroom at the
+    # same arithmetic intensity (the contraction is rank-r, HBM-bound).
     m, k = x.shape
     r = a.shape[1]
     thr = int(round(p * 256))

@@ -15,6 +15,7 @@ exercised by the benchmark/serving paths.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -88,8 +89,18 @@ def _act_quant_scaled(dy, scale):
     return jnp.clip(jnp.round(g / s_g), -127, 127).astype(jnp.int8), s_g
 
 
-@jax.custom_vjp
-def _w8a8_core(x, q, scale):
+# The output cast to the model compute dtype lives INSIDE the custom_vjp
+# (``dtype`` rides as a nondiff static arg) so the incoming cotangent is
+# bf16, not f32.  With the cast outside, JAX upcast the bf16 cotangent to
+# f32 at the vjp boundary and every relayout copy between the consumer's
+# backward and this bwd ran on the f32 version — the round-4 xplane trace
+# showed 4x ~19.5 ms/step f32[6,2048,32,128]/f32[6,2048,4096] copy families
+# that are pure dtype-of-transport waste (the upcast adds no information;
+# the bwd immediately re-upcasts elementwise inside its own fusion).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _w8a8_core(x, q, scale, dtype):
     """Forward: dynamic per-token activation quant + int8xint8 MXU matmul.
 
     The v5e MXU runs int8xint8->int32 at ~2x its bf16 rate (measured 198 vs
@@ -109,20 +120,22 @@ def _w8a8_core(x, q, scale):
         x8, q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * s_x * scale
+    return (y.astype(jnp.float32) * s_x * scale).astype(dtype)
 
 
-def _w8a8_fwd(x, q, scale):
+def _w8a8_fwd(x, q, scale, dtype):
     # Zero-size carrier for x's dtype (dtypes themselves aren't JAX types).
-    return _w8a8_core(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
+    return _w8a8_core(x, q, scale, dtype), (q, scale, jnp.zeros((0,), x.dtype))
 
 
-def _w8a8_bwd(res, dy):
+def _w8a8_bwd(dtype, res, dy):
     # Straight-through: round() is treated as identity, so dx is the exact
     # bf16 dequant backward — dy @ dequant(q)^T — at the same cost as the
     # weight-only int8 path.  The base is frozen: float0/zero for q, scale.
     q, scale, x_proto = res
-    dyb = (dy * scale).astype(jnp.bfloat16)
+    # Upcast elementwise inside the fusion: matches the old f32-dy numerics
+    # exactly without transporting an f32 tensor.
+    dyb = (dy.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     dx = dyb @ q.astype(jnp.bfloat16).T
     return (
         dx.astype(x_proto.dtype),
@@ -140,32 +153,32 @@ def int8_matmul_w8a8(x, q, scale, dtype=jnp.bfloat16):
     ~0.4% RMS relative error on the frozen path (the trainable LoRA branch
     stays bf16 and corrects); enable via ``MistralConfig.base_quant='w8a8'``.
     """
-    return _w8a8_core(x, q, scale).astype(dtype)
+    return _w8a8_core(x, q, scale, dtype)
 
 
-@jax.custom_vjp
-def _w8a8g8_core(x, q, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _w8a8g8_core(x, q, scale, dtype):
     x8, s_x = _act_quant(x)
     y = jax.lax.dot_general(
         x8, q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * s_x * scale
+    return (y.astype(jnp.float32) * s_x * scale).astype(dtype)
 
 
-def _w8a8g8_fwd(x, q, scale):
-    return _w8a8g8_core(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
+def _w8a8g8_fwd(x, q, scale, dtype):
+    return _w8a8g8_core(x, q, scale, dtype), (q, scale, jnp.zeros((0,), x.dtype))
 
 
-def _w8a8g8_bwd(res, dy):
+def _w8a8g8_bwd(dtype, res, dy):
     # int8 backward: dx_n' = sum_n (dy_n * s_w_n) q_nj^T.  The weight scale
     # rides the CONTRACTED axis here (unlike forward), so it is folded into
     # dy before the per-token quant; the per-token scale then commutes out.
     # ~0.4% RMS relative error on dx — gradient noise well below SGD's own;
     # the e2e learnability test runs with this mode to guard quality.
     q, scale, x_proto = res
-    # Fused (dy * weight_scale) + row quant in one VMEM pass — the f32
-    # product never touches HBM (ops/rowquant.py).
+    # _act_quant_scaled upcasts dy elementwise inside its own fusion, so a
+    # bf16 dy is bit-identical to the old materialized-f32 dy here.
     g8, s_g = _act_quant_scaled(dy, scale)
     dx = jax.lax.dot_general(
         g8, q, (((g8.ndim - 1,), (1,)), ((), ())),
@@ -188,7 +201,7 @@ def int8_matmul_w8a8g8(x, q, scale, dtype=jnp.bfloat16):
     gradient of the *input* is approximated (the base weights receive no
     gradient at all — they are frozen).
     """
-    return _w8a8g8_core(x, q, scale).astype(dtype)
+    return _w8a8g8_core(x, q, scale, dtype)
 
 
 def quantize_tree(params: dict, should_quantize) -> dict:
