@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from phantom_vlb_tpu.models.lora import LoRAConfig, LoRADense
 from phantom_vlb_tpu.ops.flash_attention import attention as flash_attention
+from phantom_vlb_tpu.ops.flash_attention import attention_packed
 
 __all__ = ["MistralConfig", "MistralModel", "MistralForCausalLM"]
 
@@ -153,6 +154,34 @@ def apply_rope(x: jnp.ndarray, rope, theta: float | None = None) -> jnp.ndarray:
     )
 
 
+def apply_rope_packed(x: jnp.ndarray, rope, num_heads: int,
+                      theta: float | None = None) -> jnp.ndarray:
+    """Rotary embedding on the packed (B, S, H*D) layout.
+
+    The head split is the MINOR dim, so the (B, S, H, D) view is a bitcast
+    and the rotation stays a pure elementwise fusion — no physical
+    (B,H,S,D) transpose is ever materialized (the packed attention path,
+    see ops/flash_attention.attention_packed).  Numerics identical to
+    :func:`apply_rope` (same HF split-half convention and dtypes).
+    """
+    b, s, hd = x.shape
+    d = hd // num_heads
+    if isinstance(rope, tuple):
+        cos, sin = rope                        # (B|1, 1, S, D/2)
+    else:
+        cos, sin = rope_tables(rope, d, theta)
+    # (B|1, 1, S, D/2) -> (B|1, S, 1, D/2): swapping a size-1 axis is a
+    # reshape, not a transpose.
+    cos = jnp.swapaxes(cos, 1, 2).astype(x.dtype)
+    sin = jnp.swapaxes(sin, 1, 2).astype(x.dtype)
+    x4 = x.reshape(b, s, num_heads, d)
+    x1, x2 = jnp.split(x4, 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.reshape(b, s, hd)
+
+
 def _remat_policy(name: str):
     if name == "nothing":
         return jax.checkpoint_policies.nothing_saveable
@@ -219,6 +248,27 @@ class MistralAttention(nn.Module):
                               adapter_y)
 
         x_adapter = _shared_adapter_input(self, cfg, x, deterministic)
+
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            # Packed transpose-free path: projections already emit
+            # (B, S, H*D), the packed kernel consumes/produces it directly,
+            # and rope is applied on the (B, S, H, D) VIEW (bitcast — the
+            # head split is the minor dim, so no physical relayout).  This
+            # removes every (B,S,H,D)<->(B,H,S,D) copy XLA otherwise
+            # inserts around attention — measured ~150 ms/step at the VLB
+            # production geometry (BENCHMARKS.md round 4).
+            q = proj(h * d, "q_proj", x, x_adapter)
+            k = proj(hkv * d, "k_proj", x, x_adapter)
+            v = proj(hkv * d, "v_proj", x, x_adapter)
+            q = apply_rope_packed(q, rope, h, cfg.rope_theta)
+            k = apply_rope_packed(k, rope, hkv, cfg.rope_theta)
+            out = attention_packed(q, k, v, h, hkv, causal=True, kv_mask=kv_mask)
+            out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
+            return proj(cfg.hidden_size, "o_proj", out)
+
         q = proj(h * d, "q_proj", x, x_adapter).reshape(b, s, h, d).transpose(0, 2, 1, 3)
         k = proj(hkv * d, "k_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
         v = proj(hkv * d, "v_proj", x, x_adapter).reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
@@ -255,7 +305,7 @@ class MistralAttention(nn.Module):
                 )
         else:
             out = flash_attention(
-                q, k, v, causal=True, kv_mask=kv_mask, impl=cfg.attention_impl
+                q, k, v, causal=True, kv_mask=kv_mask, impl=impl
             )
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)

@@ -13,7 +13,19 @@ Design (see /opt/skills/guides/boom_attention_tricks.md):
   ``attention_mask = lang.ne(0)``, litmodule.py:271);
 - custom VJP: forward saves (out, logsumexp); backward runs two kernels —
   dq (grid over q tiles, loop kv) and dk/dv (grid over kv tiles, loop
-  group x q tiles) — so the (S, S) score matrix is never materialized.
+  group x q tiles) — so the (S, S) score matrix is never materialized;
+- TWO array layouts served by the SAME kernels (the kernel bodies only ever
+  see (bq, d)/(bk, d) tiles; only the BlockSpec index maps differ):
+  * ``attention``: the conventional (B, H, S, D) API (ring/CP building block,
+    XLA fallback parity) — flattened to (B*H, S, D) bitcasts internally;
+  * ``attention_packed``: q/k/v/out as (B, S, H*D) — the layout the
+    surrounding projection GEMMs already produce/consume.  Each head is a
+    128-lane slice at offset h*128 (tile-aligned, so blocks DMA densely).
+    This removes the physical (B,S,H,D)<->(B,H,S,D) transposes XLA
+    otherwise inserts around every attention call — measured ~150 ms/step
+    of relayout copies at the VLB production geometry (round 4), some of
+    them in f32 because the o_proj quant chain's convert_element_type got
+    fused ahead of the copy.
 
 VPU-economy details (round 2; the kernels are softmax/mask bound, not MXU
 bound, at the VLB geometry):
@@ -35,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention", "xla_attention"]
+__all__ = ["attention", "attention_packed", "xla_attention"]
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -98,8 +110,8 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]          # pre-scaled by sm_scale
-        k = k_ref[0, 0]
+        q = q_ref[0]             # pre-scaled by sm_scale
+        k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -119,14 +131,14 @@ def _fwd_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == nk - 1)
     def _():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
         lse_ref[0, 0] = _rows8(lse)
 
@@ -180,10 +192,10 @@ def _dq_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]          # pre-scaled
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]        # kept bf16: MXU operand (f32 x f32 dots run
+        q = q_ref[0]             # pre-scaled
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]           # kept bf16: MXU operand (f32 x f32 dots run
         #                          at a fraction of the bf16 MXU rate)
         lse = _col8(lse_ref[0, 0])           # (8, bq) -> (bq, 1)
         di = _col8(di_ref[0, 0])
@@ -209,7 +221,7 @@ def _dq_kernel(
     @pl.when(ki == nk - 1)
     def _():
         # d(s)/d(q_unscaled) carries sm_scale once, applied in the epilogue.
-        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
+        dq_ref[0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -233,10 +245,10 @@ def _dkv_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]          # pre-scaled: dk = ds^T @ q_scaled needs no factor
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]        # bf16 MXU operand (see _dq_kernel)
+        q = q_ref[0]             # pre-scaled: dk = ds^T @ q_scaled needs no factor
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]           # bf16 MXU operand (see _dq_kernel)
         lse = _col8(lse_ref[0, 0])
         di = _col8(di_ref[0, 0])
 
@@ -265,8 +277,8 @@ def _dkv_kernel(
 
     @pl.when((gi == group - 1) & (qi == nq - 1))
     def _():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _dq_dkv_kernel(
@@ -302,10 +314,10 @@ def _dq_dkv_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]          # pre-scaled by sm_scale
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]        # bf16 MXU operand
+        q = q_ref[0]             # pre-scaled by sm_scale
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]           # bf16 MXU operand
         lse = _col8(lse_ref[0, 0])
         di = _col8(di_ref[0, 0])
 
@@ -336,12 +348,12 @@ def _dq_dkv_kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
+        dq_ref[0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
     @pl.when((gi == group - 1) & (qi == nq - 1) & (ki == nk - 1))
     def _():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -367,17 +379,67 @@ def _kv_bias(kv_mask, b, skv, skv_p):
     return jnp.where(maskp > 0, 0.0, MASK_VALUE).astype(jnp.float32)
 
 
-def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
-    b, hq, sq, d = q.shape
-    hkv, skv = k.shape[1], k.shape[2]
+def _qkv_specs(packed, hq, hkv, group, bq, bk, d):
+    """(q, k, v) in_specs + the q-shaped out_spec for a (b, hq, nq, nk) grid.
+
+    packed: arrays are (B, S, H*D); each head is the 128-lane slice at
+    h*128 (block index h on the minor dim — tile-aligned, dense DMA).
+    unpacked: arrays are flattened (B*H, S, D) bitcasts of (B, H, S, D).
+    """
+    if packed:
+        q_spec = pl.BlockSpec((1, bq, d), lambda b_, h, i, j: (b_, i, h))
+        kv_spec = pl.BlockSpec(
+            (1, bk, d), lambda b_, h, i, j, g=group: (b_, j, h // g)
+        )
+    else:
+        q_spec = pl.BlockSpec(
+            (1, bq, d), lambda b_, h, i, j, H=hq: (b_ * H + h, i, 0)
+        )
+        kv_spec = pl.BlockSpec(
+            (1, bk, d),
+            lambda b_, h, i, j, g=group, H=hkv: (b_ * H + h // g, j, 0),
+        )
+    return q_spec, kv_spec
+
+
+def _split_heads(x, heads):
+    """(B, H, S, D) -> (B*H, S, D) bitcast (row-major; no data movement)."""
+    b, h, s, d = x.shape
+    assert h == heads
+    return x.reshape(b * h, s, d)
+
+
+def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0,
+              heads=None):
+    """Forward pallas call.
+
+    heads=None: q (B, Hq, S, D), k/v (B, Hkv, Skv, D) — the conventional API.
+    heads=(hq, hkv): q (B, S, Hq*D), k/v (B, Skv, Hkv*D) packed layout; out
+    comes back (B, Sq, Hq*D).  Same kernels either way (only index maps
+    differ), so parity between the two is structural.
+    """
+    packed = heads is not None
+    if packed:
+        hq, hkv = heads
+        b, sq = q.shape[0], q.shape[1]
+        d = q.shape[2] // hq
+        skv = k.shape[1]
+    else:
+        b, hq, sq, d = q.shape
+        hkv, skv = k.shape[1], k.shape[2]
     group = hq // hkv
     nq = pl.cdiv(sq, bq)
     nk = pl.cdiv(skv, bk)
     sq_p, skv_p = nq * bq, nk * bk
 
-    qp = _pad_to(q, sq_p, 2) * jnp.asarray(sm_scale, q.dtype)
-    kp = _pad_to(k, skv_p, 2)
-    vp = _pad_to(v, skv_p, 2)
+    seq_axis = 1 if packed else 2
+    qp = _pad_to(q, sq_p, seq_axis) * jnp.asarray(sm_scale, q.dtype)
+    kp = _pad_to(k, skv_p, seq_axis)
+    vp = _pad_to(v, skv_p, seq_axis)
+    if not packed:
+        qp = _split_heads(qp, hq)
+        kp = _split_heads(kp, hkv)
+        vp = _split_heads(vp, hkv)
     bias = _kv_bias(kv_mask, b, skv, skv_p)
     has_bias = bias is not None
     if not has_bias:
@@ -387,22 +449,24 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
     kernel = functools.partial(
         _fwd_kernel, causal=causal, has_bias=has_bias, nk=nk, bq=bq, bk=bk,
     )
+    q_spec, kv_spec = _qkv_specs(packed, hq, hkv, group, bq, bk, d)
+    o_shape = (b, sq_p, hq * d) if packed else (b * hq, sq_p, d)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, hq, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            q_spec,
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            _qkv_specs(packed, hq, hkv, group, bq, bk, d)[0],
             pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct(o_shape, q.dtype),
             # Transposed dense stat layout — see _rows8.
             jax.ShapeDtypeStruct((b, hq, 8, sq_p), jnp.float32),
         ],
@@ -416,34 +480,63 @@ def _fwd_impl(q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset=0):
         ),
         interpret=interpret,
     )(qp, kp, vp, bias, offset_arr)
-    return out[:, :, :sq], lse[:, :, 0, :sq], bias, has_bias
+    if packed:
+        out = out[:, :sq]
+    else:
+        out = out.reshape(b, hq, sq_p, d)[:, :, :sq]
+    return out, lse[:, :, 0, :sq], bias, has_bias
 
 
 def _bwd_impl(
     q, k, v, bias, has_bias, o, lse, do, causal, sm_scale, bq, bk,
-    interpret, offset=0,
+    interpret, offset=0, heads=None,
 ):
-    b, hq, sq, d = q.shape
-    hkv, skv = k.shape[1], k.shape[2]
+    packed = heads is not None
+    if packed:
+        hq, hkv = heads
+        b, sq = q.shape[0], q.shape[1]
+        d = q.shape[2] // hq
+        skv = k.shape[1]
+    else:
+        b, hq, sq, d = q.shape
+        hkv, skv = k.shape[1], k.shape[2]
     group = hq // hkv
     nq = pl.cdiv(sq, bq)
     nk = pl.cdiv(skv, bk)
     sq_p, skv_p = nq * bq, nk * bk
 
-    qp = _pad_to(q, sq_p, 2) * jnp.asarray(sm_scale, q.dtype)
-    kp = _pad_to(k, skv_p, 2)
-    vp = _pad_to(v, skv_p, 2)
-    dop = _pad_to(do, sq_p, 2)
-    op = _pad_to(o, sq_p, 2)
+    seq_axis = 1 if packed else 2
+    qp = _pad_to(q, sq_p, seq_axis) * jnp.asarray(sm_scale, q.dtype)
+    kp = _pad_to(k, skv_p, seq_axis)
+    vp = _pad_to(v, skv_p, seq_axis)
+    dop = _pad_to(do, sq_p, seq_axis)
+    op = _pad_to(o, sq_p, seq_axis)
 
     # Transposed dense (B, H, 8, Sp) f32 stats — S minor avoids the 128-lane
     # tile padding that made the naive (..., S, k) forms cost 16x their
     # payload in HBM traffic (see _rows8).
-    di = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)
+    if packed:
+        # Per-head row dot from the (B, S, H*D) layout: reduce each head's
+        # 128-lane slice, then move the (small, (B, S, H) f32) result to
+        # head-major — the only physical transpose left on this path.
+        di = jnp.sum(
+            (op.astype(jnp.float32) * dop.astype(jnp.float32)).reshape(
+                b, sq_p, hq, d
+            ),
+            axis=-1,
+        ).transpose(0, 2, 1)
+    else:
+        di = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[:, :, None, :], (b, hq, 8, sq_p))
     lsep = jnp.broadcast_to(
         _pad_to(lse, sq_p, 2)[:, :, None, :], (b, hq, 8, sq_p)
     )
+
+    if not packed:
+        qp = _split_heads(qp, hq)
+        kp = _split_heads(kp, hkv)
+        vp = _split_heads(vp, hkv)
+        dop = _split_heads(dop, hq)
 
     offset_arr = jnp.asarray(offset, jnp.int32).reshape(1)
 
@@ -451,6 +544,42 @@ def _bwd_impl(
     # dk/dv accumulators. Use it whenever that scratch is modest; fall back
     # to the separate kernels for very long kv (ring shards stay short, and
     # the production seq is 2048, so the fused path is the common case).
+    if packed:
+        q_spec5 = pl.BlockSpec(
+            (1, bq, d), lambda b_, h, g, i, j, G=group: (b_, i, h * G + g)
+        )
+        kv_spec5 = pl.BlockSpec((1, bk, d), lambda b_, h, g, i, j: (b_, j, h))
+        dkv_spec5 = pl.BlockSpec(
+            (1, skv_p, d), lambda b_, h, g, i, j: (b_, 0, h)
+        )
+        dq_shape = (b, sq_p, hq * d)
+        dkv_shape = (b, skv_p, hkv * d)
+    else:
+        q_spec5 = pl.BlockSpec(
+            (1, bq, d),
+            lambda b_, h, g, i, j, G=group, H=hq: (b_ * H + h * G + g, i, 0),
+        )
+        kv_spec5 = pl.BlockSpec(
+            (1, bk, d), lambda b_, h, g, i, j, H=hkv: (b_ * H + h, j, 0)
+        )
+        dkv_spec5 = pl.BlockSpec(
+            (1, skv_p, d), lambda b_, h, g, i, j, H=hkv: (b_ * H + h, 0, 0)
+        )
+        dq_shape = (b * hq, sq_p, d)
+        dkv_shape = (b * hkv, skv_p, d)
+    stat_spec5 = pl.BlockSpec(
+        (1, 1, 8, bq), lambda b_, h, g, i, j, G=group: (b_, h * G + g, 0, i)
+    )
+
+    def _unpack(dq, dk, dv):
+        if packed:
+            return dq[:, :sq], dk[:, :skv], dv[:, :skv]
+        return (
+            dq.reshape(b, hq, sq_p, d)[:, :, :sq],
+            dk.reshape(b, hkv, skv_p, d)[:, :, :skv],
+            dv.reshape(b, hkv, skv_p, d)[:, :, :skv],
+        )
+
     if skv_p * d * 8 <= 4 * 1024 * 1024:
         fused_kernel = functools.partial(
             _dq_dkv_kernel, causal=causal, has_bias=has_bias,
@@ -460,39 +589,20 @@ def _bwd_impl(
             fused_kernel,
             grid=(b, hkv, group, nq, nk),
             in_specs=[
-                pl.BlockSpec(
-                    (1, 1, bq, d),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
-                ),
-                pl.BlockSpec((1, 1, bk, d), lambda b_, h, g, i, j: (b_, h, j, 0)),
-                pl.BlockSpec((1, 1, bk, d), lambda b_, h, g, i, j: (b_, h, j, 0)),
+                q_spec5,
+                kv_spec5,
+                kv_spec5,
                 pl.BlockSpec((1, 1, bk), lambda b_, h, g, i, j: (b_, 0, j)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (1, 1, bq, d),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, bq),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, 0, i),
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, bq),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, 0, i),
-                ),
+                q_spec5,
+                stat_spec5,
+                stat_spec5,
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 1, bq, d),
-                    lambda b_, h, g, i, j, G=group: (b_, h * G + g, i, 0),
-                ),
-                pl.BlockSpec((1, 1, skv_p, d), lambda b_, h, g, i, j: (b_, h, 0, 0)),
-                pl.BlockSpec((1, 1, skv_p, d), lambda b_, h, g, i, j: (b_, h, 0, 0)),
-            ],
+            out_specs=[q_spec5, dkv_spec5, dkv_spec5],
             out_shape=[
-                jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
-                jax.ShapeDtypeStruct((b, hkv, skv_p, d), k.dtype),
-                jax.ShapeDtypeStruct((b, hkv, skv_p, d), v.dtype),
+                jax.ShapeDtypeStruct(dq_shape, q.dtype),
+                jax.ShapeDtypeStruct(dkv_shape, k.dtype),
+                jax.ShapeDtypeStruct(dkv_shape, v.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, d), jnp.float32),
@@ -506,8 +616,9 @@ def _bwd_impl(
             ),
             interpret=interpret,
         )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
-        return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
+        return _unpack(dq, dk, dv)
 
+    q_spec4, kv_spec4 = _qkv_specs(packed, hq, hkv, group, bq, bk, d)
     dq_kernel = functools.partial(
         _dq_kernel, causal=causal, has_bias=has_bias, sm_scale=sm_scale,
         nk=nk, bq=bq, bk=bk,
@@ -516,17 +627,17 @@ def _bwd_impl(
         dq_kernel,
         grid=(b, hq, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=group: (b_, h // g, j, 0)),
+            q_spec4,
+            kv_spec4,
+            kv_spec4,
             pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+            q_spec4,
             pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
             pl.BlockSpec((1, 1, 8, bq), lambda b_, h, i, j: (b_, h, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        out_specs=_qkv_specs(packed, hq, hkv, group, bq, bk, d)[0],
+        out_shape=jax.ShapeDtypeStruct(dq_shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -534,6 +645,23 @@ def _bwd_impl(
         interpret=interpret,
     )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
 
+    # dkv grid is (b, hkv, nk, group, nq) — kv blocks in the PARALLEL slot.
+    if packed:
+        q_specd = pl.BlockSpec(
+            (1, bq, d), lambda b_, h, j, g, i, G=group: (b_, i, h * G + g)
+        )
+        kv_specd = pl.BlockSpec((1, bk, d), lambda b_, h, j, g, i: (b_, j, h))
+    else:
+        q_specd = pl.BlockSpec(
+            (1, bq, d),
+            lambda b_, h, j, g, i, G=group, H=hq: (b_ * H + h * G + g, i, 0),
+        )
+        kv_specd = pl.BlockSpec(
+            (1, bk, d), lambda b_, h, j, g, i, H=hkv: (b_ * H + h, j, 0)
+        )
+    stat_specd = pl.BlockSpec(
+        (1, 1, 8, bq), lambda b_, h, j, g, i, G=group: (b_, h * G + g, 0, i)
+    )
     dkv_kernel = functools.partial(
         _dkv_kernel, causal=causal, has_bias=has_bias,
         group=group, nq=nq, bq=bq, bk=bk,
@@ -542,30 +670,19 @@ def _bwd_impl(
         dkv_kernel,
         grid=(b, hkv, nk, group, nq),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
-            ),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
+            q_specd,
+            kv_specd,
+            kv_specd,
             pl.BlockSpec((1, 1, bk), lambda b_, h, j, g, i: (b_, 0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, bq, d), lambda b_, h, j, g, i, G=group: (b_, h * G + g, i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, bq), lambda b_, h, j, g, i, G=group: (b_, h * G + g, 0, i)
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, bq), lambda b_, h, j, g, i, G=group: (b_, h * G + g, 0, i)
-            ),
+            q_specd,
+            stat_specd,
+            stat_specd,
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, g, i: (b_, h, j, 0)),
-        ],
+        out_specs=[kv_specd, kv_specd],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, skv_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hkv, skv_p, d), v.dtype),
+            jax.ShapeDtypeStruct(dkv_shape, k.dtype),
+            jax.ShapeDtypeStruct(dkv_shape, v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -577,7 +694,7 @@ def _bwd_impl(
         interpret=interpret,
     )(qp, kp, vp, bias, offset_arr, dop, lsep, di)
 
-    return dq[:, :, :sq], dk[:, :, :skv], dv[:, :, :skv]
+    return _unpack(dq, dk, dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -605,6 +722,69 @@ def _flash_bwd(causal, sm_scale, bq, bk, interpret, res, do):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_packed(q, k, v, kv_mask, offset, hq, hkv, causal, sm_scale, bq, bk,
+                  interpret):
+    out, _, _, _ = _fwd_impl(
+        q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset,
+        heads=(hq, hkv),
+    )
+    return out
+
+
+def _flash_packed_fwd(q, k, v, kv_mask, offset, hq, hkv, causal, sm_scale,
+                      bq, bk, interpret):
+    out, lse, bias, has_bias = _fwd_impl(
+        q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset,
+        heads=(hq, hkv),
+    )
+    return out, (q, k, v, bias, has_bias, offset, out, lse)
+
+
+def _flash_packed_bwd(hq, hkv, causal, sm_scale, bq, bk, interpret, res, do):
+    q, k, v, bias, has_bias, offset, out, lse = res
+    dq, dk, dv = _bwd_impl(
+        q, k, v, bias, has_bias, out, lse, do, causal, sm_scale, bq, bk,
+        interpret, offset, heads=(hq, hkv),
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def attention_packed(
+    q, k, v, num_heads: int, num_kv_heads: int,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    kv_mask=None,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+    interpret: bool | None = None,
+    causal_offset: int = 0,
+):
+    """GQA flash attention in the packed (B, S, H*D) layout, Pallas only.
+
+    q (B, Sq, Hq*D), k/v (B, Skv, Hkv*D) -> out (B, Sq, Hq*D): the layout the
+    surrounding projections produce and consume, so NO physical
+    (B,S,H,D)<->(B,H,S,D) transposes exist around the call (see module
+    docstring).  Differentiable; numerics identical to :func:`attention`
+    (same kernels, different BlockSpec index maps).
+    """
+    d = q.shape[-1] // num_heads
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, max(q.shape[1], 8))
+    bk = _pick_kv_block(k.shape[1], block_kv)
+    return _flash_packed(
+        q, k, v, kv_mask, causal_offset, num_heads, num_kv_heads,
+        causal, sm_scale, bq, bk, interpret,
+    )
 
 
 def attention_with_stats(

@@ -128,3 +128,99 @@ def test_bf16_runs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-2, rtol=5e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed (B, S, H*D) layout — same kernels, transpose-free BlockSpecs.
+# ---------------------------------------------------------------------------
+def _to_packed(x):
+    return x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2], -1)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_packed_forward_parity(causal):
+    from phantom_vlb_tpu.ops.flash_attention import attention_packed
+
+    q, k, v = _inputs(7)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = attention_packed(
+        _to_packed(q), _to_packed(k), _to_packed(v), HQ, HKV,
+        causal=causal, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_to_packed(ref)), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_packed_forward_with_padding_mask():
+    from phantom_vlb_tpu.ops.flash_attention import attention_packed
+
+    q, k, v = _inputs(8)
+    valid = np.ones((B, S), np.int32)
+    valid[0, 200:] = 0
+    valid[1, 100:150] = 0
+    kv_mask = jnp.asarray(valid)
+    ref = xla_attention(q, k, v, causal=True, kv_mask=kv_mask)
+    out = attention_packed(
+        _to_packed(q), _to_packed(k), _to_packed(v), HQ, HKV,
+        causal=True, kv_mask=kv_mask, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_to_packed(ref)), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("s", [128, 200, 577])
+def test_packed_gradient_parity(s):
+    """Gradients vs the XLA reference, incl. the unaligned CLIP length 577."""
+    from phantom_vlb_tpu.ops.flash_attention import attention_packed
+
+    q, k, v = _inputs(9, s=s)
+    causal = s == 128
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_packed(qp, kp, vp):
+        return jnp.sum(
+            attention_packed(qp, kp, vp, HQ, HKV, causal=causal, interpret=True)
+            ** 2
+        )
+
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_packed, (0, 1, 2))(
+        _to_packed(q), _to_packed(k), _to_packed(v)
+    )
+    for a, b in zip(gr, gp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(_to_packed(a)), atol=5e-4, rtol=5e-4
+        )
+
+
+def test_packed_matches_bhsd_model_path():
+    """The tiny Mistral stack: packed-pallas layer output == xla layer output."""
+    from phantom_vlb_tpu.models.mistral import MistralConfig, MistralModel
+
+    def run(impl):
+        cfg = MistralConfig(
+            hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+            vocab_size=64, param_dtype=jnp.float32, dtype=jnp.float32,
+            remat=False, scan_layers=False, attention_impl=impl, lora=None,
+        )
+        model = MistralModel(cfg)
+        x = jax.random.normal(jax.random.key(0), (2, 40, 128), jnp.float32)
+        pos = jnp.broadcast_to(jnp.arange(40)[None], (2, 40))
+        kv_mask = jnp.ones((2, 40), jnp.int32)
+        params = model.init(jax.random.key(1), x, pos, kv_mask)
+        out = model.apply(params, x, pos, kv_mask)
+        dx = jax.grad(
+            lambda p, x: jnp.sum(jnp.sin(model.apply(p, x, pos, kv_mask))),
+            argnums=1,
+        )(params, x)
+        return out, dx
+
+    o_x, g_x = run("xla")
+    o_p, g_p = run("pallas")
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4, rtol=1e-4)
