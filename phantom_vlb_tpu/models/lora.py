@@ -196,6 +196,12 @@ class LoRADense(nn.Module):
                 if self.lora.dropout and not deterministic:
                     z = adapter_dropout(self, z, self.lora)
             z = z @ a.astype(self.dtype)
+        # The rank-r mid is tiny ((tokens, 16) bf16, ~400 KB at the VLB
+        # geometry) but expensive to rematerialize (the fused dropout+rank-r
+        # kernel re-reads the full (tokens, K) activation from HBM).  Named
+        # so the "flash"/"mids" remat policies store it: ~88 MB for all 32
+        # layers buys back the entire rematted adapter-kernel family.
+        z = jax.ad_checkpoint.checkpoint_name(z, "lora_mid")
         z = z @ b.astype(self.dtype)
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 

@@ -187,6 +187,17 @@ def _remat_policy(name: str):
         return jax.checkpoint_policies.nothing_saveable
     if name == "attn":
         return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "mids":
+        # Save only the (tokens, r) LoRA mids (~88 MB total at 32L): the
+        # backward skips re-running every fused dropout+rank-r kernel.
+        return jax.checkpoint_policies.save_only_these_names("lora_mid")
+    if name == "flash":
+        # Save the flash kernel outputs (out + logsumexp, ~3.6 GB at 32L)
+        # and the LoRA mids: the backward never re-runs the flash forward
+        # or the adapter kernels — only projections/norms rematerialize.
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse", "lora_mid"
+        )
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     raise ValueError(f"unknown remat_policy {name!r}")

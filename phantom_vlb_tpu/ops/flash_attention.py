@@ -709,6 +709,12 @@ def _flash_fwd(q, k, v, kv_mask, offset, causal, sm_scale, bq, bk, interpret):
     out, lse, bias, has_bias = _fwd_impl(
         q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset
     )
+    # Named so a jax.checkpoint policy (mistral._remat_policy "flash") can
+    # SAVE the forward kernel's outputs: with both (out, lse) stored, the
+    # backward's residuals are complete and the remat pass never re-runs the
+    # flash forward kernel (~92 ms/step at the VLB geometry, round 4).
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, bias, has_bias, offset, out, lse)
 
 
@@ -740,6 +746,8 @@ def _flash_packed_fwd(q, k, v, kv_mask, offset, hq, hkv, causal, sm_scale,
         q, k, v, kv_mask, causal, sm_scale, bq, bk, interpret, offset,
         heads=(hq, hkv),
     )
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, bias, has_bias, offset, out, lse)
 
 
