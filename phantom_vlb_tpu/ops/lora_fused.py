@@ -42,6 +42,23 @@ def _mask(bits_u32, thr):
     return (bits_u32 & 0xFF).astype(jnp.int32) >= thr
 
 
+def _keep_planes(shape, thr):
+    """4 keep-planes of shape (bm, bk//4): byte c of each u32 word masks
+    column subtile c.
+
+    The hardware generator produces 32 bits/element; the original kernels
+    compared only the LOW byte of a full per-element word — 4x the needed
+    PRNG work, and the round-5 trace showed the in-kernel PRNG (not HBM)
+    dominating every fused-dropout call (~17 ms at (12288,14336) vs a
+    ~0.5 ms read floor).  Element (row, col) now takes byte ``col // q`` of
+    word ``(row, col % q)`` — all three kernels use the same (bm, bk) tile
+    so the mapping (and therefore the mask) is identical fwd/bwd.
+    """
+    words = pltpu.prng_random_bits((shape[0], shape[1] // 4))
+    return [((words >> (8 * c)) & 0xFF).astype(jnp.int32) >= thr
+            for c in range(4)]
+
+
 def _fwd_kernel(seed_ref, x_ref, a_ref, bits_ref, o_ref, acc_ref,
                 *, thr, inv_keep, nk, use_prng):
     i, j = pl.program_id(0), pl.program_id(1)
@@ -51,14 +68,21 @@ def _fwd_kernel(seed_ref, x_ref, a_ref, bits_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    scale = jnp.asarray(inv_keep, x.dtype)
     if use_prng:
         pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
-        keep = _mask(pltpu.prng_random_bits(x.shape), thr)
+        q = x.shape[1] // 4
+        for c, keep in enumerate(_keep_planes(x.shape, thr)):
+            z = jnp.where(keep, x[:, c * q:(c + 1) * q] * scale, 0)
+            acc_ref[...] += jax.lax.dot(
+                z, a_ref[c * q:(c + 1) * q, :],
+                preferred_element_type=jnp.float32,
+            )
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
-    z = jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype), 0)
-    acc_ref[...] += jax.lax.dot(z, a_ref[...],
-                                preferred_element_type=jnp.float32)
+        z = jnp.where(keep, x * scale, 0)
+        acc_ref[...] += jax.lax.dot(z, a_ref[...],
+                                    preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
     def _():
@@ -74,12 +98,14 @@ def _dx_kernel(seed_ref, dmid_ref, a_ref, bits_ref, dx_ref,
     )
     if use_prng:
         pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
-        keep = _mask(pltpu.prng_random_bits(g.shape), thr)
+        q = g.shape[1] // 4
+        for c, keep in enumerate(_keep_planes(g.shape, thr)):
+            dx_ref[:, c * q:(c + 1) * q] = jnp.where(
+                keep, g[:, c * q:(c + 1) * q] * inv_keep, 0.0
+            ).astype(dx_ref.dtype)
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
-    dx_ref[...] = jnp.where(
-        keep, g * inv_keep, 0.0
-    ).astype(dx_ref.dtype)
+        dx_ref[...] = jnp.where(keep, g * inv_keep, 0.0).astype(dx_ref.dtype)
 
 
 def _da_kernel(seed_ref, x_ref, dmid_ref, bits_ref, da_ref, acc_ref,
@@ -93,18 +119,25 @@ def _da_kernel(seed_ref, x_ref, dmid_ref, bits_ref, da_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    scale = jnp.asarray(inv_keep, x.dtype)
     if use_prng:
         # grid here is (nk, nm) with i inner — num_programs(1) is nm, but
         # the TILE id must match the forward's (i * nk + j) numbering.
         pltpu.prng_seed(seed_ref[0], i * nk_total + j)
-        keep = _mask(pltpu.prng_random_bits(x.shape), thr)
+        q = x.shape[1] // 4
+        for c, keep in enumerate(_keep_planes(x.shape, thr)):
+            z = jnp.where(keep, x[:, c * q:(c + 1) * q] * scale, 0)
+            acc_ref[c * q:(c + 1) * q, :] += jax.lax.dot_general(
+                z, dmid_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     else:
         keep = bits_ref[...].astype(jnp.int32) >= thr
-    z = jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype), 0)
-    acc_ref[...] += jax.lax.dot_general(
-        z, dmid_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        z = jnp.where(keep, x * scale, 0)
+        acc_ref[...] += jax.lax.dot_general(
+            z, dmid_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == nm - 1)
     def _():
