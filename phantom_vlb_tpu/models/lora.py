@@ -58,6 +58,12 @@ class LoRAConfig:
     # INDEPENDENT per-site masks (peft semantics) at less cost than any
     # mask-materializing variant; mask arithmetic is the u8-threshold form.
     fused_dropout: bool = False
+    # Compute ``y + scaling * (z @ B)`` with the Pallas kernels in
+    # ops/lora_epilogue.py instead of XLA's K=16/M=16 GEMMs (TPU only; math
+    # identical).  '' = off; 'pallas' = Pallas fwd + bwd; 'fwd' = Pallas fwd
+    # with XLA dz/dB (the standalone probe measured the Pallas fwd faster
+    # but its vjp slower — BENCHMARKS.md round 5).
+    fused_epilogue: str = ""
 
     @property
     def scaling(self) -> float:
@@ -202,6 +208,15 @@ class LoRADense(nn.Module):
         # so the "flash"/"mids" remat policies store it: ~88 MB for all 32
         # layers buys back the entire rematted adapter-kernel family.
         z = jax.ad_checkpoint.checkpoint_name(z, "lora_mid")
+        if self.lora.fused_epilogue and jax.default_backend() == "tpu":
+            from phantom_vlb_tpu.ops.lora_epilogue import lora_epilogue
+
+            return lora_epilogue(
+                y, z.astype(self.dtype), b.astype(self.dtype),
+                self.lora.scaling,
+                backward="xla" if self.lora.fused_epilogue == "fwd"
+                else "pallas",
+            )
         z = z @ b.astype(self.dtype)
         return y + z * jnp.asarray(self.lora.scaling, self.dtype)
 
