@@ -43,7 +43,8 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def build(layers: int, batch_size: int, quant: str | None = None):
+def build(layers: int, batch_size: int, quant: str | None = None,
+          regime: str = "lora"):
     from phantom_vlb_tpu.models.clip_vit import CLIPVisionConfig
     from phantom_vlb_tpu.models.lora import LoRAConfig
     from phantom_vlb_tpu.models.mistral import MistralConfig
@@ -59,6 +60,26 @@ def build(layers: int, batch_size: int, quant: str | None = None):
     from __graft_entry__ import _example_batch
 
     # Full production geometry; bf16 master params to fit one 16 GB chip.
+    # regime='baseline' is the reference's PRIMARY recipe
+    # (train_run_baseline.sh:6-11, freeze logic litmodule.py:86-99): no
+    # LoRA, whole backbone frozen, only the HRF head trains.
+    lora_cfg = None if regime == "baseline" else LoRAConfig(
+        shared_dropout=os.environ.get("VLB_BENCH_SHARED_DROPOUT", "0") == "1",
+        dropout=float(os.environ.get("VLB_BENCH_DROPOUT", "0.1")),
+        # u8-threshold masks (effective p 26/256=0.1016 vs 0.1,
+        # unbiased; DEVIATIONS.md): -317 ms/step vs exact bernoulli.
+        dropout_bits=int(os.environ.get("VLB_BENCH_DROPOUT_BITS", "8")),
+        # Default ON (round 4): the Pallas fused dropout+rank-r kernel
+        # measured 2750.7 vs 2803.9 ms/step in the full w8a8g8 step
+        # (clean bench, one v5e) with peft-faithful INDEPENDENT
+        # per-site masks — strictly closer to the reference recipe
+        # than any mask-materializing variant at lower cost.
+        fused_dropout=os.environ.get("VLB_BENCH_FUSED_DROPOUT", "1") == "1",
+        # Pallas rank-r epilogue kernels (round 5): '' off (measured
+        # default: the full Pallas vjp was a net -29 ms regression),
+        # 'pallas' fwd+bwd, 'fwd' Pallas fwd + XLA bwd.
+        fused_epilogue=os.environ.get("VLB_BENCH_FUSED_EPILOGUE", ""),
+    )
     config = VLBConfig(
         clip=CLIPVisionConfig(param_dtype=jnp.bfloat16, scan_layers=True,
                               base_quant=quant),
@@ -66,26 +87,14 @@ def build(layers: int, batch_size: int, quant: str | None = None):
         mistral=MistralConfig(
             num_hidden_layers=layers,
             param_dtype=jnp.bfloat16,
-            lora=LoRAConfig(
-                shared_dropout=os.environ.get("VLB_BENCH_SHARED_DROPOUT", "0") == "1",
-                dropout=float(os.environ.get("VLB_BENCH_DROPOUT", "0.1")),
-                # u8-threshold masks (effective p 26/256=0.1016 vs 0.1,
-                # unbiased; DEVIATIONS.md): -317 ms/step vs exact bernoulli.
-                dropout_bits=int(os.environ.get("VLB_BENCH_DROPOUT_BITS", "8")),
-                # Default ON (round 4): the Pallas fused dropout+rank-r kernel
-                # measured 2750.7 vs 2803.9 ms/step in the full w8a8g8 step
-                # (clean bench, one v5e) with peft-faithful INDEPENDENT
-                # per-site masks — strictly closer to the reference recipe
-                # than any mask-materializing variant at lower cost.
-                fused_dropout=os.environ.get("VLB_BENCH_FUSED_DROPOUT", "1") == "1",
-            ),
+            lora=lora_cfg,
             scan_layers=os.environ.get("VLB_BENCH_SCAN", "1") == "1",
             base_quant=quant,
             remat_policy=os.environ.get("VLB_BENCH_REMAT", "nothing"),
             scan_unroll=int(os.environ.get("VLB_BENCH_UNROLL", "1")),
             scan_group=int(os.environ.get("VLB_BENCH_GROUP", "1")),
         ),
-        freeze_backbone=False,
+        freeze_backbone=(regime == "baseline"),
     )
     config.validate()
     model = VideoLLaMA2VLB(config)
@@ -133,7 +142,12 @@ def build(layers: int, batch_size: int, quant: str | None = None):
 
 
 def train_flops_per_clip(config) -> float:
-    """Analytic train FLOPs per clip for the LoRA recipe (fwd + act-bwd)."""
+    """Analytic train FLOPs per clip for the active regime.
+
+    LoRA recipe: fwd + activation backward (3x fwd matmuls).  Frozen
+    baseline recipe (freeze_backbone=True): backbone forward only — no
+    gradient flows below the HRF head (litmodule.py:86-99), so the head's
+    own backward is negligible next to the 7B forward."""
     g = config.geometry
     m = config.mistral
     seq = g.feature_len
@@ -146,7 +160,7 @@ def train_flops_per_clip(config) -> float:
     fwd = 2 * layer_params * seq * m.num_hidden_layers
     fwd += 2 * 2 * seq * seq * m.head_dim * m.num_attention_heads * m.num_hidden_layers * 0.5
     # LoRA backward: activations-grad path (~2x fwd matmuls), no base dW.
-    llm = fwd * 3
+    llm = fwd * (1 if config.freeze_backbone else 3)
     # Frozen CLIP tower forward: 12 frames x 577 tokens.
     c = config.clip
     clip_params = c.num_hidden_layers * (
@@ -251,9 +265,10 @@ def _emit_fallback(reason: str) -> None:
     print(json.dumps(fallback))
 
 
-def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dict:
+def _attempt(layers: int, batch_size: int, steps: int, quant: str | None,
+             regime: str = "lora") -> dict:
     """One bench attempt; raising frees this frame's device arrays."""
-    config, state, frozen, step, batch = build(layers, batch_size, quant)
+    config, state, frozen, step, batch = build(layers, batch_size, quant, regime)
     # rbg dropout keys: ~0.8 s/step cheaper than threefry at this geometry
     # (the trainer uses the same impl, train/loop.py).
     rng = jax.random.key(1, impl="rbg")
@@ -286,7 +301,7 @@ def _attempt(layers: int, batch_size: int, steps: int, quant: str | None) -> dic
     if quant:
         suffix = f"_{quant}{suffix}"
     return {
-        "metric": f"lora_train_clips_per_sec_per_chip{suffix}",
+        "metric": f"{regime}_train_clips_per_sec_per_chip{suffix}",
         "value": round(clips_per_sec, 4),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / ref_clips_per_sec, 4),
@@ -303,7 +318,12 @@ def main():
         # Child mode: one attempt, one process (a hard OOM poisons the TPU
         # client, so each scale gets a fresh process).
         quant = sys.argv[3] if len(sys.argv) > 3 and sys.argv[3] != "none" else None
-        result = _attempt(int(sys.argv[2]), batch_size, steps, quant)
+        regime = sys.argv[4] if len(sys.argv) > 4 else "lora"
+        if regime == "baseline":
+            # The reference's primary recipe has no LoRA state; batch 6 is
+            # throughput-optimal here too (BENCHMARKS.md round 5).
+            batch_size = int(os.environ.get("VLB_BENCH_BASE_BATCH", "6"))
+        result = _attempt(int(sys.argv[2]), batch_size, steps, quant, regime)
         print(json.dumps(result))
         return
 
@@ -365,6 +385,7 @@ def main():
                 for k in (
                     "VLB_BENCH_DROPOUT", "VLB_BENCH_DROPOUT_BITS",
                     "VLB_BENCH_SHARED_DROPOUT", "VLB_BENCH_FUSED_DROPOUT",
+                    "VLB_BENCH_FUSED_EPILOGUE",
                     "VLB_BENCH_BATCH", "VLB_BENCH_STEPS", "VLB_BENCH_LAYERS",
                     "VLB_BENCH_SCAN", "VLB_BENCH_REMAT", "VLB_BENCH_UNROLL",
                     "VLB_BENCH_GROUP", "VLB_BENCH_VISION_CACHE",
@@ -380,7 +401,30 @@ def main():
                     with open(_LAST_GOOD, "w") as f:
                         json.dump(parsed, f)
             except Exception:
-                pass
+                parsed = None
+            # Second metric (VERDICT r4 ask 2): the reference's PRIMARY
+            # recipe — frozen backbone, head-only training
+            # (train_run_baseline.sh:6-11).  Guarded: a failure or timeout
+            # only omits the key, never breaks the headline line.
+            if parsed is not None and os.environ.get(
+                "VLB_BENCH_BASELINE_REGIME", "1"
+            ) == "1":
+                try:
+                    bproc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--single", str(layers), "w8a8", "baseline"],
+                        capture_output=True, text=True,
+                        timeout=float(os.environ.get(
+                            "VLB_BENCH_BASELINE_TIMEOUT", "1500")),
+                    )
+                    sys.stderr.write(bproc.stderr)
+                    if bproc.returncode == 0 and bproc.stdout.strip():
+                        parsed["baseline_regime"] = json.loads(
+                            bproc.stdout.strip().splitlines()[-1])
+                        line = json.dumps(parsed)
+                except Exception as e:
+                    print(f"[bench] baseline-regime child failed: {e!r}",
+                          file=sys.stderr)
             print(line)
             return
         last_err = f"layers={layers} quant={quant} rc={proc.returncode}"
