@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                    help="frame pipeline: 'batched' dedups shared frames "
                         "(least work); 'per_tr' uses small recycled buffers "
                         "(fastest on lazy-memory hosts); outputs identical")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="episode-parallel worker processes (the reference "
+                        "budgets 32 CPUs for decord; "
+                        "vllama2_vlb_extract_features.sh:6-9)")
     args = p.parse_args(argv)
 
     geometry = VLBGeometry(
@@ -76,7 +80,7 @@ def main(argv=None) -> int:
     )
     written = extract_features(
         config, tokenizer, NativeVideoSource, chat_template,
-        progress=lambda s: print(s, flush=True),
+        progress=lambda s: print(s, flush=True), jobs=args.jobs,
     )
     print(f"extracted {len(written)} episodes")
     return 0

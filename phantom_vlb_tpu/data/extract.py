@@ -118,35 +118,138 @@ def extract_episode(
     )
 
 
+def _extract_one(
+    ep_num: str,
+    paths: dict[str, str],
+    config: ExtractConfig,
+    tokenizer: TokenizerProtocol,
+    open_video: Callable[[str], VideoSource],
+    chat_template: Callable[[str, str], str],
+) -> FeatureEpisode:
+    """One episode end to end (the unit of both the serial loop and the pool)."""
+    import pandas as pd
+
+    transcript_df = pd.read_csv(paths["transcript"], sep="\t")
+    seg_df = pd.read_csv(paths["seg"], sep="\t")
+    source = open_video(paths["video"])
+    try:
+        return extract_episode(
+            transcript_df, seg_df, source, config.geometry, tokenizer,
+            chat_template, video_mode=config.video_mode,
+        )
+    finally:
+        close = getattr(source, "close", None)
+        if close:
+            close()
+
+
 def extract_features(
     config: ExtractConfig,
     tokenizer: TokenizerProtocol,
     open_video: Callable[[str], VideoSource],
     chat_template: Callable[[str, str], str] = default_chat_template,
     progress: Callable[[str], None] = lambda s: None,
+    jobs: int = 1,
 ) -> list[str]:
-    """Season-level extraction with episode resume; returns episodes written."""
-    import pandas as pd
+    """Season-level extraction with episode resume; returns episodes written.
 
+    ``jobs > 1`` runs a fork-based process pool over episodes — the
+    TPU-native stand-in for the reference's 32-CPU decord budget
+    (``vllama2_vlb_extract_features.sh:6-9``).  Episodes are independent
+    and the HDF5 episode group is the write unit, so each worker writes an
+    isolated ``<out>.part-<ep>.h5`` and the parent merges completed groups
+    (chunk-preserving H5Ocopy — no recompression) as workers finish.
+    Resume semantics are identical to the serial path: only episodes
+    already in the MAIN output file are skipped; stale part files from a
+    killed run are deleted and recomputed.
+    """
     out_path = str(Path(config.lazy_load_path).resolve())
     done = set(list_feature_episodes(out_path))
     inputs = get_input_paths(config)
+    todo = [ep for ep in inputs if ep not in done]
 
-    written: list[str] = []
-    for ep_num, paths in inputs.items():
-        if ep_num in done:
-            continue
-        progress(f"extracting {ep_num}")
-        transcript_df = pd.read_csv(paths["transcript"], sep="\t")
-        seg_df = pd.read_csv(paths["seg"], sep="\t")
-        source = open_video(paths["video"])
-        episode = extract_episode(
-            transcript_df, seg_df, source, config.geometry, tokenizer,
-            chat_template, video_mode=config.video_mode,
+    if jobs <= 1 or len(todo) <= 1:
+        written: list[str] = []
+        for ep_num in todo:
+            progress(f"extracting {ep_num}")
+            episode = _extract_one(
+                ep_num, inputs[ep_num], config, tokenizer,
+                open_video, chat_template,
+            )
+            write_feature_episode(out_path, ep_num, episode)
+            written.append(ep_num)
+        return written
+
+    return _extract_features_pooled(
+        out_path, todo, inputs, config, tokenizer, open_video,
+        chat_template, progress, jobs,
+    )
+
+
+def _part_path(out_path: str, ep_num: str) -> str:
+    return f"{out_path}.part-{ep_num}.h5"
+
+
+def _merge_part(out_path: str, part: str, ep_num: str) -> None:
+    """Move the worker's episode group into the main file (raw-chunk copy)."""
+    import h5py
+
+    with h5py.File(part, "r") as src, h5py.File(out_path, "a") as dst:
+        if ep_num in dst:  # crashed mid-merge last run; keep the complete one
+            del dst[ep_num]
+        src.copy(src[ep_num], dst, name=ep_num)
+    os.unlink(part)
+
+
+def _extract_features_pooled(
+    out_path, todo, inputs, config, tokenizer, open_video,
+    chat_template, progress, jobs,
+) -> list[str]:
+    import multiprocessing as mp
+
+    # fork: workers inherit the (unpicklable) tokenizer/chat-template
+    # closures through the address space; no pickling of args.
+    ctx = mp.get_context("fork")
+
+    def worker(ep_num: str) -> None:
+        part = _part_path(out_path, ep_num)
+        if os.path.exists(part):  # stale from a killed run — recompute
+            os.unlink(part)
+        episode = _extract_one(
+            ep_num, inputs[ep_num], config, tokenizer, open_video,
+            chat_template,
         )
-        write_feature_episode(out_path, ep_num, episode)
-        written.append(ep_num)
-        close = getattr(source, "close", None)
-        if close:
-            close()
-    return written
+        write_feature_episode(part, ep_num, episode)
+
+    pending = list(todo)
+    running: dict = {}   # Process -> ep_num
+    written: list[str] = []
+    failed: list[tuple[str, int]] = []
+    try:
+        while pending or running:
+            while pending and len(running) < jobs:
+                ep_num = pending.pop(0)
+                progress(f"extracting {ep_num}")
+                p = ctx.Process(target=worker, args=(ep_num,), daemon=True)
+                p.start()
+                running[p] = ep_num
+            for p in list(running):
+                p.join(timeout=0.2)
+                if p.exitcode is None:
+                    continue
+                ep_num = running.pop(p)
+                if p.exitcode == 0:
+                    _merge_part(out_path, _part_path(out_path, ep_num), ep_num)
+                    written.append(ep_num)
+                    progress(f"done {ep_num}")
+                else:
+                    failed.append((ep_num, p.exitcode))
+    finally:
+        for p in running:  # interrupted: don't leave orphans
+            p.terminate()
+    if failed:
+        raise RuntimeError(
+            f"extraction failed for {failed}; completed episodes are "
+            "committed — rerun to resume"
+        )
+    return sorted(written)

@@ -206,3 +206,94 @@ def test_extract_features_resume(tmp_path):
     opened.clear()
     assert extract_features(cfg, tok, open_video) == []
     assert opened == []
+
+
+def _season_fixture(tmp_path, episodes, n_tr, g):
+    for sub in ("transcripts", "segs", "videos"):
+        (tmp_path / sub).mkdir(exist_ok=True)
+    for ep in episodes:
+        _transcript_df(n_tr, g).to_csv(
+            tmp_path / "transcripts" / f"friends_{ep}.tsv", sep="\t", index=False
+        )
+        _seg_df(n_tr, g).to_csv(
+            tmp_path / "segs" / f"friends_{ep.replace('s0', 's')}_manualseg.tsv",
+            sep="\t", index=False,
+        )
+        (tmp_path / "videos" / f"friends_{ep}.mkv").write_bytes(b"placeholder")
+    rng = np.random.default_rng(3)
+    frames = rng.integers(
+        0, 255, (int(n_tr * g.tr * 30) + 40, 48, 64, 3), dtype=np.uint8
+    )
+    return frames
+
+
+def test_extract_features_pooled_matches_serial(tmp_path):
+    """--jobs N (episode process pool): same bytes, same resume contract.
+
+    The reference gets its extraction parallelism from 32 CPUs feeding
+    decord (vllama2_vlb_extract_features.sh:6-9); ours from a fork pool
+    over independent episodes with per-episode part files merged into the
+    season HDF5 as workers finish."""
+    g = EXTRACT_GEOMETRY
+    eps = ["s01e01a", "s01e01b", "s01e01c"]
+    n_tr = 6
+    frames = _season_fixture(tmp_path, eps, n_tr, g)
+    tok = WordPieceTestTokenizer()
+    open_video = lambda path: ArrayVideoSource(frames, 30.0)  # noqa: E731
+
+    cfg_s = ExtractConfig(
+        str(tmp_path / "transcripts"), str(tmp_path / "segs"),
+        str(tmp_path / "videos"), str(tmp_path / "serial.h5"), g,
+    )
+    cfg_p = ExtractConfig(
+        str(tmp_path / "transcripts"), str(tmp_path / "segs"),
+        str(tmp_path / "videos"), str(tmp_path / "pooled.h5"), g,
+    )
+    # a stale part file from a "killed" earlier run must be ignored/replaced
+    (tmp_path / "pooled.h5.part-s01e01b.h5").write_bytes(b"garbage")
+
+    assert extract_features(cfg_s, tok, open_video) == eps
+    assert extract_features(cfg_p, tok, open_video, jobs=2) == eps
+    validate_features_file(tmp_path / "pooled.h5", g)
+    for ep in eps:
+        a = read_feature_episode(tmp_path / "serial.h5", ep)
+        b = read_feature_episode(tmp_path / "pooled.h5", ep)
+        for field in ("transcript_features", "transcript_onsets",
+                      "masking_params", "video_features"):
+            np.testing.assert_array_equal(getattr(a, field), getattr(b, field))
+    # no part files left behind
+    assert not list(tmp_path.glob("pooled.h5.part-*"))
+
+    # Resume interplay: drop one episode group, pooled rerun restores ONLY it.
+    import h5py
+
+    with h5py.File(tmp_path / "pooled.h5", "a") as f:
+        del f["s01e01b"]
+    assert extract_features(cfg_p, tok, open_video, jobs=2) == ["s01e01b"]
+    validate_features_file(tmp_path / "pooled.h5", g)
+
+
+def test_extract_features_pooled_failure_commits_completed(tmp_path):
+    """A failing episode fails the run but completed episodes stay committed."""
+    g = EXTRACT_GEOMETRY
+    eps = ["s01e01a", "s01e01b"]
+    frames = _season_fixture(tmp_path, eps, 6, g)
+    tok = WordPieceTestTokenizer()
+
+    def open_video(path):
+        if "s01e01b" in path:
+            raise RuntimeError("corrupt mkv")
+        return ArrayVideoSource(frames, 30.0)
+
+    cfg = ExtractConfig(
+        str(tmp_path / "transcripts"), str(tmp_path / "segs"),
+        str(tmp_path / "videos"), str(tmp_path / "out.h5"), g,
+    )
+    with pytest.raises(RuntimeError, match="s01e01b"):
+        extract_features(cfg, tok, open_video, jobs=2)
+    from phantom_vlb_tpu.data.schemas import list_feature_episodes
+
+    assert list_feature_episodes(tmp_path / "out.h5") == ["s01e01a"]
+    # rerun with a fixed source resumes just the failed episode
+    ok_video = lambda path: ArrayVideoSource(frames, 30.0)  # noqa: E731
+    assert extract_features(cfg, tok, ok_video, jobs=2) == ["s01e01b"]
