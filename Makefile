@@ -30,6 +30,20 @@ parity:
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component clip --out /tmp/fwparity_clip
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --component stc --oracle hf
 
+# Day-one real-artifact runbook (VERDICT r4 ask 7): the ONE command to run
+# when the real VideoLLaMA2-7B shards / shipped tokenizer become available.
+# Stages: inventory, stream-convert + strict-load accounting, Mistral &
+# CLIP activation parity vs HF torch, tokenizer byte checks + joiner
+# re-derivation.  Start cheap: make parity-real CKPT=<dir> LAYERS=4, then
+# rerun without LAYERS for the full 32-layer pass.
+CKPT ?=
+TOK ?=
+LAYERS ?=
+parity-real:
+	JAX_PLATFORMS=cpu python scripts/parity_real.py \
+		$(if $(CKPT),--ckpt $(CKPT)) $(if $(TOK),--tokenizer $(TOK)) \
+		$(if $(LAYERS),--layers $(LAYERS))
+
 # Deeper Mistral run (depth 8); several hours on 1 vCPU.
 parity-full:
 	JAX_PLATFORMS=cpu python scripts/full_width_parity.py --layers 8 --out /tmp/fwparity8

@@ -144,11 +144,15 @@ def init_model_params(model: VideoLLaMA2VLB, geometry, vocab: int, seed: int):
     )["params"]
 
 
-def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
+def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params,
+                           sd=None):
     """Merge converted VideoLLaMA2 weights into initialized params.
 
     Accepts an Orbax checkpoint dir of the full param tree, or a directory of
     HF safetensors shards to convert on the fly (models/convert.py).
+    ``sd`` optionally supplies a preloaded/lazy key->array mapping for the
+    safetensors branch (e.g. ``LazySafetensorsDir`` for streaming, or the
+    read-accounting proxy in scripts/parity_real.py).
     """
     from pathlib import Path
 
@@ -161,7 +165,7 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
         ckpt = ocp.StandardCheckpointer()
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, params)
         return ckpt.restore(p.resolve(), abstract)
-    if list(p.glob("*.safetensors")):
+    if sd is not None or list(p.glob("*.safetensors")):
         from phantom_vlb_tpu.models.convert import (
             convert_clip_vision,
             convert_mistral,
@@ -169,7 +173,8 @@ def load_pretrained_params(model_cfg: VLBConfig, checkpoint_path: str, params):
             load_safetensors_dir,
         )
 
-        sd = load_safetensors_dir(p)
+        if sd is None:
+            sd = load_safetensors_dir(p)
 
         def _maybe_quantize(tree, quant, targets):
             # Quantized configs store kernel_q/kernel_scale; the converter
