@@ -295,7 +295,8 @@ def ring_fwd_sharded(
                 collective_id=7,
             ),
             interpret=(
-                pltpu.InterpretParams() if interpret else False
+                interpret if isinstance(interpret, pltpu.InterpretParams)
+                else (pltpu.InterpretParams() if interpret else False)
             ),
         )(my.reshape(1), qp, k_loc, v_loc, bias_arr)
         return out, lse[:, :, 0, :]
