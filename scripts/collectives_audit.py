@@ -96,7 +96,7 @@ def collect_collectives(hlo_text: str) -> list[dict]:
     return ops
 
 
-def build_and_compile(layers: int):
+def build_and_compile(layers: int, quant: str | None = None):
     """Production-width LoRA train step over data2 x fsdp4 (8 virt devices)."""
     from phantom_vlb_tpu.core.mesh import MeshConfig, build_mesh
     from phantom_vlb_tpu.models.lora import LoRAConfig
@@ -122,6 +122,7 @@ def build_and_compile(layers: int):
             num_hidden_layers=layers,
             param_dtype=jnp.bfloat16,
             lora=LoRAConfig(dropout=0.1, dropout_bits=8),
+            base_quant=quant,
             # scan off: every layer's collectives are explicit instructions,
             # so the static byte count is exact (no while-loop trip counts).
             scan_layers=False,
@@ -152,6 +153,16 @@ def build_and_compile(layers: int):
         jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params), env
     )
 
+    # Param dtype census: settles what the gathered FSDP shards actually are
+    # (the reference-regime bf16 store vs the int8 bench store) — the HLO
+    # byte counts below must be read against this, not assumed.
+    census = defaultdict(int)
+    for leaf in jax.tree.leaves(params):
+        census[str(leaf.dtype)] += leaf.size * leaf.dtype.itemsize
+    print("[audit] param bytes by dtype: "
+          + ", ".join(f"{k}={v / 1e6:.0f}MB" for k, v in sorted(census.items())),
+          file=sys.stderr, flush=True)
+
     labels = trainable_labels(params, trainable_predicate)
     tx = make_optimizer(OptimConfig())
     state, frozen = init_train_state(params, tx, labels)
@@ -163,12 +174,18 @@ def build_and_compile(layers: int):
 
 
 def main() -> None:
-    depths = [int(d) for d in (sys.argv[1:] or ["2", "4"])]
+    args = [a for a in sys.argv[1:] if not a.startswith("--quant")]
+    quant = None
+    for a in sys.argv[1:]:
+        if a.startswith("--quant="):
+            quant = a.split("=", 1)[1] or None
+    depths = [int(d) for d in (args or ["2", "4"])]
     per_depth = {}
     for d in depths:
-        print(f"[audit] compiling {d}-layer production-width step over "
-              f"data2 x fsdp4 ...", file=sys.stderr, flush=True)
-        text, env = build_and_compile(d)
+        print(f"[audit] compiling {d}-layer production-width step "
+              f"(quant={quant}) over data2 x fsdp4 ...",
+              file=sys.stderr, flush=True)
+        text, env = build_and_compile(d, quant)
         ops = collect_collectives(text)
         looped = [o for o in ops if o["in_loop"]]
         if looped:
@@ -215,10 +232,12 @@ def main() -> None:
         print(f"- {o['kind']} `{o['name']}` {o['bytes'] / 1e6:.2f} MB "
               f"`{o['shape']}`")
 
-    out = Path("docs/bench_logs/collectives_audit.json")
+    suffix = f"_{quant}" if quant else ""
+    out = Path(f"docs/bench_logs/collectives_audit{suffix}.json")
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps({
         "mesh": "data2 x fsdp4 (8 virtual CPU devices)",
+        "base_quant": quant,
         "geometry": "production width (4096/14336, seq 2048, batch 8, "
                     "vision-token cache)",
         "depths": depths,
